@@ -1,0 +1,9 @@
+"""skyeye_tpu — TPU-native aerial object detection framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the SkyEye (YOLOv5-family) aerial detector
+capability surface: CSP-Darknet+CBAM backbone, FPN/PAN neck, anchor-based 3-scale
+detection head, enhanced cross-layer-attention variant, training/validation/detection
+pipelines, and fixed-shape on-device decode+NMS.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,232 @@
+"""Fixed-shape, jit-compatible non-maximum suppression.
+
+Capability parity: `non_max_suppression` in the reference
+(/root/reference/skyeye/utils/metrics.py:361-457): confidence filter -> multi-label
+expansion (nc > 1) or best-class -> optional class filter -> pre-NMS top-k cap ->
+class-offset trick -> greedy IoU suppression -> max_det cap.
+
+TPU-native redesign (NOT a port): the torch version relies on dynamic shapes and
+`torchvision.ops.nms` per image inside a Python loop, forcing a device->host sync per
+image. Here the whole pipeline is a static-shape pure function:
+
+  * candidates are ranked with `lax.top_k` (scores of sub-threshold candidates are
+    masked to -1, never dropped), so every intermediate keeps a compile-time shape;
+  * multi-label expansion flattens the (N, nc) score matrix and top-ks the flat array;
+  * class-aware suppression uses the reference's coordinate-offset trick
+    (metrics.py:438-439) so one greedy pass handles all classes;
+  * greedy suppression runs as a `lax.fori_loop` over `max_det` steps, each step doing a
+    vectorized argmax + IoU-against-all mask update (O(max_det * k), fully on the VPU);
+  * output is a fixed (max_det, 6) array [x1, y1, x2, y2, conf, cls] plus a valid count.
+
+This keeps image-in/boxes-out entirely on device; batching is `vmap`.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import xywh2xyxy
+
+# Same spatial offset the reference uses to separate classes during suppression
+# (metrics.py:438: `c = x[:, 5:6] * max_wh`).
+_MAX_WH = 7680.0
+
+
+def _greedy_nms(boxes, scores, iou_thres: float, max_det: int):
+    """Greedy NMS over fixed-size candidate set.
+
+    boxes: (k, 4) xyxy (already class-offset), scores: (k,) with invalid = -1.
+    Returns (keep_idx: (max_det,) int32, keep_valid: (max_det,) bool).
+    """
+    k = boxes.shape[0]
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    area = jnp.clip(x2 - x1, 0, None) * jnp.clip(y2 - y1, 0, None)
+
+    def body(i, carry):
+        live_scores, keep_idx, keep_valid = carry
+        best = jnp.argmax(live_scores)
+        best_score = live_scores[best]
+        valid = best_score > 0.0
+
+        bx1, by1, bx2, by2 = x1[best], y1[best], x2[best], y2[best]
+        barea = area[best]
+        iw = jnp.clip(jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1), 0, None)
+        ih = jnp.clip(jnp.minimum(y2, by2) - jnp.maximum(y1, by1), 0, None)
+        inter = iw * ih
+        iou = inter / (area + barea - inter + 1e-7)
+
+        suppress = (iou > iou_thres) & valid
+        live_scores = jnp.where(suppress, -1.0, live_scores)
+        live_scores = live_scores.at[best].set(-1.0)
+
+        keep_idx = keep_idx.at[i].set(jnp.where(valid, best, 0).astype(jnp.int32))
+        keep_valid = keep_valid.at[i].set(valid)
+        return live_scores, keep_idx, keep_valid
+
+    init = (
+        scores,
+        jnp.zeros((max_det,), jnp.int32),
+        jnp.zeros((max_det,), bool),
+    )
+    _, keep_idx, keep_valid = jax.lax.fori_loop(0, max_det, body, init)
+    return keep_idx, keep_valid
+
+
+def _nms_single_impl(
+    prediction,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    multi_label: bool = False,
+    agnostic: bool = False,
+    max_det: int = 300,
+    max_nms: int = 4096,
+    class_mask=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """NMS for one image's decoded predictions.
+
+    Args:
+      prediction: (N, 5 + nc) decoded [cx, cy, w, h, obj, cls...] (post-sigmoid).
+      class_mask: optional (nc,) bool — keep only these classes (reference's `classes=`
+        filter, metrics.py:424-427).
+
+    Returns:
+      detections: (max_det, 6) [x1, y1, x2, y2, conf, cls], zero-padded.
+      n_valid: () int32 count of real detections.
+    """
+    nc = prediction.shape[1] - 5
+    boxes_xywh = prediction[:, :4]
+    obj = prediction[:, 4]
+    cls_scores = prediction[:, 5:] * obj[:, None]  # conf = obj * cls (metrics.py:407)
+    boxes = xywh2xyxy(boxes_xywh)
+
+    # Reference candidate gate: xc = obj > conf_thres (metrics.py:385).
+    obj_ok = obj > conf_thres
+
+    if multi_label and nc > 1:
+        # (N, nc) -> flat candidates; each (box, class) pair above threshold survives.
+        scores_full = jnp.where(
+            obj_ok[:, None] & (cls_scores > conf_thres), cls_scores, -1.0
+        )
+        if class_mask is not None:
+            scores_full = jnp.where(class_mask[None, :], scores_full, -1.0)
+        flat = scores_full.reshape(-1)
+        k = min(max_nms, flat.shape[0])
+        top_scores, top_flat_idx = jax.lax.top_k(flat, k)
+        box_idx = top_flat_idx // nc
+        cls_idx = (top_flat_idx % nc).astype(jnp.float32)
+        cand_boxes = boxes[box_idx]
+        cand_scores = jnp.where(top_scores > conf_thres, top_scores, -1.0)
+        cand_cls = cls_idx
+    else:
+        best_cls = jnp.argmax(cls_scores, axis=1)
+        best_score = jnp.max(cls_scores, axis=1)
+        score = jnp.where(obj_ok & (best_score > conf_thres), best_score, -1.0)
+        if class_mask is not None:
+            score = jnp.where(class_mask[best_cls], score, -1.0)
+        k = min(max_nms, score.shape[0])
+        top_scores, top_idx = jax.lax.top_k(score, k)
+        cand_boxes = boxes[top_idx]
+        cand_scores = top_scores
+        cand_cls = best_cls[top_idx].astype(jnp.float32)
+
+    # Class-offset trick for class-aware suppression (metrics.py:438-439).
+    offset = jnp.where(agnostic, 0.0, cand_cls * _MAX_WH)
+    offset_boxes = cand_boxes + offset[:, None]
+
+    keep_idx, keep_valid = _greedy_nms(offset_boxes, cand_scores, iou_thres, max_det)
+
+    out_boxes = cand_boxes[keep_idx]
+    out_scores = cand_scores[keep_idx]
+    out_cls = cand_cls[keep_idx]
+    det = jnp.concatenate(
+        [out_boxes, out_scores[:, None], out_cls[:, None]], axis=1
+    )
+    det = jnp.where(keep_valid[:, None], det, 0.0)
+    return det, keep_valid.sum().astype(jnp.int32)
+
+
+nms_single = partial(
+    jax.jit,
+    static_argnames=(
+        "conf_thres",
+        "iou_thres",
+        "multi_label",
+        "agnostic",
+        "max_det",
+        "max_nms",
+    ),
+)(_nms_single_impl)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "conf_thres",
+        "iou_thres",
+        "multi_label",
+        "agnostic",
+        "max_det",
+        "max_nms",
+    ),
+)
+def nms_batched(
+    predictions,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    multi_label: bool = False,
+    agnostic: bool = False,
+    max_det: int = 300,
+    max_nms: int = 4096,
+    class_mask=None,
+):
+    """Batched NMS: (B, N, 5+nc) -> ((B, max_det, 6), (B,)). vmapped `nms_single`."""
+    fn = partial(
+        _nms_single_impl,
+        conf_thres=conf_thres,
+        iou_thres=iou_thres,
+        multi_label=multi_label,
+        agnostic=agnostic,
+        max_det=max_det,
+        max_nms=max_nms,
+        class_mask=class_mask,
+    )
+    return jax.vmap(fn)(predictions)
+
+
+def non_max_suppression(
+    prediction,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    classes=None,
+    agnostic: bool = False,
+    multi_label: bool = False,
+    max_det: int = 300,
+    max_nms: int = 4096,
+):
+    """Host-facing API matching the reference's signature (metrics.py:361-400).
+
+    Returns a Python list of per-image numpy arrays (n_i, 6), variable length — the
+    dynamic-shape boundary lives HERE, after all device work is done in one launch.
+    """
+    import numpy as np
+
+    nc = prediction.shape[2] - 5
+    class_mask = None
+    if classes is not None:
+        class_mask = jnp.zeros((nc,), bool).at[jnp.asarray(classes)].set(True)
+    det, n = nms_batched(
+        jnp.asarray(prediction),
+        conf_thres=conf_thres,
+        iou_thres=iou_thres,
+        multi_label=multi_label,
+        agnostic=agnostic,
+        max_det=max_det,
+        max_nms=max_nms,
+        class_mask=class_mask,
+    )
+    det = np.asarray(det)
+    n = np.asarray(n)
+    return [det[i, : n[i]] for i in range(det.shape[0])]
