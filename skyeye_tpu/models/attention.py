@@ -1,0 +1,282 @@
+"""Attention modules, flax/NHWC, TPU-first.
+
+Capability parity (reference /root/reference/skyeye/core/models/attention.py):
+  ChannelAttention      <- ChannelAttention       (attention.py:11-60)
+  SpatialAttention      <- SpatialAttention       (attention.py:63-98)
+  CBAM                  <- CombinedAttention      (attention.py:101-130)
+  CrossLayerAttention   <- CrossLayerAttention    (attention.py:133-241)
+  TransformerLayer      <- TransformerLayer       (attention.py:244-309)
+  WindowedSelfAttention <- WindowedSelfAttention  (attention.py:312-399)
+
+TPU-native notes:
+  * NHWC: channel reductions land on the lane axis; the CBAM MLP is two small GEMMs.
+  * CrossLayerAttention: the reference's region loop re-interpolates the SAME full map
+    region_size^2 times (attention.py:208-215) — degenerate uniform attention. Here it
+    is a TRUE local-region cross-attention: K/V are bilinear-resampled to the query
+    grid once, then shifted by the region offsets, so each query attends over a real
+    region_size x region_size neighborhood of the coarser level (documented deviation,
+    SURVEY.md M10).
+  * Windowed attention stays one big batched einsum per (window, head) — MXU-shaped.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ChannelAttention(nn.Module):
+    """SE-style gate: (avg-pool + max-pool) -> shared MLP -> sigmoid."""
+
+    reduction_ratio: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        channels = x.shape[-1]
+        reduced = max(channels // self.reduction_ratio, 1)
+        mlp = nn.Sequential(
+            [
+                nn.Dense(reduced, use_bias=False, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="fc1"),
+                nn.relu,
+                nn.Dense(channels, use_bias=False, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="fc2"),
+            ]
+        )
+        avg = jnp.mean(x, axis=(1, 2))
+        mx = jnp.max(x, axis=(1, 2))
+        gate = jax.nn.sigmoid(mlp(avg) + mlp(mx))
+        return x * gate[:, None, None, :]
+
+
+class SpatialAttention(nn.Module):
+    """Channel-mean/max maps -> kxk conv -> sigmoid gate."""
+
+    kernel_size: int = 7
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        avg_map = jnp.mean(x, axis=-1, keepdims=True)
+        max_map = jnp.max(x, axis=-1, keepdims=True)
+        stats = jnp.concatenate([avg_map, max_map], axis=-1)
+        p = self.kernel_size // 2
+        gate = nn.Conv(
+            1,
+            (self.kernel_size, self.kernel_size),
+            padding=((p, p), (p, p)),
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(stats)
+        return x * jax.nn.sigmoid(gate)
+
+
+class CBAM(nn.Module):
+    """Sequential channel then spatial attention (CombinedAttention)."""
+
+    reduction_ratio: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = ChannelAttention(self.reduction_ratio, dtype=self.dtype, name="channel")(x)
+        x = SpatialAttention(dtype=self.dtype, name="spatial")(x)
+        return x
+
+
+def _bilinear_resize(x, out_h: int, out_w: int):
+    """NHWC bilinear resize with align_corners=False semantics (static shapes)."""
+    return jax.image.resize(x, (x.shape[0], out_h, out_w, x.shape[3]), method="bilinear")
+
+
+class CrossLayerAttention(nn.Module):
+    """Local-region multi-head cross-attention between pyramid levels.
+
+    Query from the finer level, K/V from the coarser level resampled to the query grid
+    and shifted over a region_size x region_size neighborhood. Softmax over the region
+    positions; 1x1 projections around the attention.
+    """
+
+    query_channels: int
+    key_channels: int
+    value_channels: Optional[int] = None
+    region_size: int = 2
+    output_channels: Optional[int] = None
+    heads: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key, value=None):
+        if value is None:
+            value = key
+        v_ch = self.value_channels or self.key_channels
+        out_ch = self.output_channels or self.query_channels
+        scale = 1.0 / float(np.sqrt(self.query_channels))
+        r = self.region_size
+
+        q = nn.Conv(self.query_channels, (1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="q_proj")(query)
+        k = nn.Conv(self.key_channels, (1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="k_proj")(key)
+        v = nn.Conv(v_ch, (1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="v_proj")(value)
+
+        B, qh, qw, _ = q.shape
+        k = _bilinear_resize(k, qh, qw)
+        v = _bilinear_resize(v, qh, qw)
+
+        # Neighborhood shifts: offsets centered on the query position.
+        lo = -(r - 1) // 2
+        shifts = [(lo + i, lo + j) for i in range(r) for j in range(r)]
+
+        def shifted(t, dy, dx):
+            # edge-replicate shift via pad+slice (static)
+            t = jnp.pad(
+                t,
+                ((0, 0), (max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0)), (0, 0)),
+                mode="edge",
+            )
+            return t[
+                :,
+                max(-dy, 0) : max(-dy, 0) + qh,
+                max(-dx, 0) : max(-dx, 0) + qw,
+                :,
+            ]
+
+        ks = jnp.stack([shifted(k, dy, dx) for dy, dx in shifts], axis=1)  # (B,R,H,W,Ck)
+        vs = jnp.stack([shifted(v, dy, dx) for dy, dx in shifts], axis=1)  # (B,R,H,W,Cv)
+
+        hq = self.query_channels // self.heads
+        hk = self.key_channels // self.heads
+        hv = v_ch // self.heads
+        qh_ = q.reshape(B, qh, qw, self.heads, hq)
+        ks_ = ks.reshape(B, r * r, qh, qw, self.heads, hk)
+        vs_ = vs.reshape(B, r * r, qh, qw, self.heads, hv)
+
+        # attention over region positions; heads share spatial position
+        d = min(hq, hk)
+        logits = jnp.einsum(
+            "bhwnc,brhwnc->brhwn", qh_[..., :d], ks_[..., :d]
+        ) * scale
+        attn = jax.nn.softmax(logits, axis=1)
+        out = jnp.einsum("brhwn,brhwnc->bhwnc", attn, vs_)
+        out = out.reshape(B, qh, qw, v_ch)
+        return nn.Conv(out_ch, (1, 1), dtype=self.dtype,
+                       param_dtype=jnp.float32, name="out_proj")(out)
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Plain MHSA over a (B, N, C) token sequence (one fused qkv GEMM)."""
+
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, bias=None):
+        B, N, C = x.shape
+        hd = C // self.num_heads
+        qkv = nn.Dense(3 * C, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        logits = jnp.einsum("bqhc,bkhc->bhqk", q, k) * (hd**-0.5)
+        if bias is not None:
+            logits = logits + bias
+        if mask is not None:
+            logits = logits + mask
+        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
+        out = jnp.einsum("bhqk,bkhc->bqhc", attn, v).reshape(B, N, C)
+        return nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
+
+
+class TransformerLayer(nn.Module):
+    """Pre-norm MHSA + ReLU-FFN over flattened H*W tokens (reference :244-309)."""
+
+    num_heads: int
+    feedforward_dim: Optional[int] = None
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, C = x.shape
+        ff = self.feedforward_dim or C * 4
+        t = x.reshape(B, H * W, C)
+
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(t)
+        y = MultiHeadSelfAttention(self.num_heads, dtype=self.dtype, name="attn")(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        t = t + y
+
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(t)
+        y = nn.Dense(ff, dtype=self.dtype, param_dtype=jnp.float32, name="ff1")(y)
+        y = nn.relu(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        y = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32, name="ff2")(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        t = t + y
+
+        return t.reshape(B, H, W, C)
+
+
+def relative_position_index(window_size: int) -> np.ndarray:
+    """Static Swin-style relative position index table (N, N)."""
+    coords = np.stack(
+        np.meshgrid(np.arange(window_size), np.arange(window_size), indexing="ij")
+    )  # (2, ws, ws)
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # (2, N, N)
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += window_size - 1
+    rel[:, :, 1] += window_size - 1
+    rel[:, :, 0] *= 2 * window_size - 1
+    return rel.sum(-1)
+
+
+class WindowedSelfAttention(nn.Module):
+    """Swin-style window attention with relative-position bias + optional shift mask.
+
+    Input: (B * num_windows, window_size^2, C), like the reference (:358-369).
+    """
+
+    dim: int
+    window_size: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        B_, N, C = x.shape
+        ws = self.window_size
+        hd = C // self.num_heads
+
+        bias_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * ws - 1) * (2 * ws - 1), self.num_heads),
+            jnp.float32,
+        )
+        rel_idx = jnp.asarray(relative_position_index(ws))  # (N, N)
+        rel_bias = bias_table[rel_idx.reshape(-1)].reshape(N, N, self.num_heads)
+        rel_bias = rel_bias.transpose(2, 0, 1)[None]  # (1, nh, N, N)
+
+        qkv = nn.Dense(3 * C, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
+        qkv = qkv.reshape(B_, N, 3, self.num_heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = q * (hd**-0.5)
+        attn = jnp.einsum("bqhc,bkhc->bhqk", q, k) + rel_bias
+
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(B_ // nW, nW, self.num_heads, N, N)
+            attn = attn + mask[None, :, None, :, :]
+            attn = attn.reshape(B_, self.num_heads, N, N)
+
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhc->bqhc", attn, v).reshape(B_, N, C)
+        return nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)

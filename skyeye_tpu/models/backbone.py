@@ -1,0 +1,76 @@
+"""CSP-Darknet backbone with CBAM attention and SPP, flax/NHWC.
+
+Capability parity (reference /root/reference/skyeye/core/models/backbone.py:12-159):
+4 stages — Focus + conv/2 + CSP(3d) -> conv/2 + CSP(9d) [P3/8] -> conv/2 + CSP(9d) +
+CBAM [P4/16] -> conv/2 + CSP(3d) + SPP [P5/32], with depth/width multipliers.
+
+Deviation (documented, SURVEY.md M14): the reference's SkyEyeBackbone reports channel
+counts [2c, 4c, 8c]*w that do not match its actual stage outputs [4c, 8c, 16c]*w
+(backbone.py:139-143 vs :40-42,99). Here `feature_channels()` derives the REAL output
+channels so the neck always matches.
+"""
+from __future__ import annotations
+
+from typing import Any, List, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .attention import CBAM
+from .blocks import ConvBlock, CSPBlock, FocusBlock, SPPBlock
+
+
+def scaled_channels(x: float, width_multiple: float) -> int:
+    return max(round(x * width_multiple), 1)
+
+
+def scaled_depth(x: int, depth_multiple: float) -> int:
+    return max(round(x * depth_multiple), 1)
+
+
+def feature_channels(base_channels: int, width_multiple: float) -> List[int]:
+    """Actual [P3, P4, P5] channel counts emitted by the backbone."""
+    return [
+        scaled_channels(base_channels * 4, width_multiple),
+        scaled_channels(base_channels * 8, width_multiple),
+        scaled_channels(base_channels * 16, width_multiple),
+    ]
+
+
+class CSPDarknet(nn.Module):
+    """Four-stage CSP-Darknet emitting [P3 (/8), P4 (/16), P5 (/32)]."""
+
+    base_channels: int = 64
+    depth_multiple: float = 1.0
+    width_multiple: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        w, d = self.width_multiple, self.depth_multiple
+        c1 = scaled_channels(self.base_channels, w)
+        c2 = scaled_channels(self.base_channels * 2, w)
+        c3 = scaled_channels(self.base_channels * 4, w)
+        c4 = scaled_channels(self.base_channels * 8, w)
+        c5 = scaled_channels(self.base_channels * 16, w)
+
+        # Stage 1 (/4): Focus -> conv/2 -> CSP(3d)
+        x = FocusBlock(c1, kernel_size=3, dtype=self.dtype, name="stem")(x, train)
+        x = ConvBlock(c2, 3, stride=2, dtype=self.dtype, name="down1")(x, train)
+        x = CSPBlock(c2, scaled_depth(3, d), dtype=self.dtype, name="csp1")(x, train)
+
+        # Stage 2 (/8) -> P3
+        x = ConvBlock(c3, 3, stride=2, dtype=self.dtype, name="down2")(x, train)
+        p3 = CSPBlock(c3, scaled_depth(9, d), dtype=self.dtype, name="csp2")(x, train)
+
+        # Stage 3 (/16) -> P4, with CBAM
+        x = ConvBlock(c4, 3, stride=2, dtype=self.dtype, name="down3")(p3, train)
+        x = CSPBlock(c4, scaled_depth(9, d), dtype=self.dtype, name="csp3")(x, train)
+        p4 = CBAM(dtype=self.dtype, name="cbam3")(x)
+
+        # Stage 4 (/32) -> P5, with SPP
+        x = ConvBlock(c5, 3, stride=2, dtype=self.dtype, name="down4")(p4, train)
+        x = CSPBlock(c5, scaled_depth(3, d), dtype=self.dtype, name="csp4")(x, train)
+        p5 = SPPBlock(c5, dtype=self.dtype, name="spp4")(x, train)
+
+        return [p3, p4, p5]

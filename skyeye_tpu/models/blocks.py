@@ -1,0 +1,198 @@
+"""Primitive building blocks, flax/NHWC, TPU-first.
+
+Capability parity (reference /root/reference/skyeye/core/models/blocks.py):
+  ConvBlock           <- ConvolutionBlock        (blocks.py:10-41)
+  DepthwiseSeparable  <- DepthwiseSeparableConv  (blocks.py:44-66)
+  Bottleneck          <- BottleneckBlock         (blocks.py:69-90)
+  CSPBlock            <- CSPBlock                (blocks.py:93-123)
+  SPPBlock            <- SPPBlock                (blocks.py:126-149)
+  FocusBlock          <- FocusBlock              (blocks.py:152-182)
+
+TPU-native design notes:
+  * NHWC layout everywhere — the natural layout for TPU convolutions (channels on the
+    128-lane axis).
+  * Explicit symmetric padding k//2 (torch semantics), so torch checkpoints convert
+    bit-compatibly; `padding='SAME'` would pad asymmetrically for stride-2.
+  * Compute dtype is configurable (bfloat16 on TPU); params and BN stats stay float32.
+  * conv+BN+SiLU is left as three XLA ops — XLA fuses BN-scale and SiLU into the conv
+    epilogue on TPU; a folded `fuse_conv_bn` (utils/checkpoint.py) covers inference
+    like the reference's `fused_forward` (blocks.py:39-41).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# Matches the reference init scheme: normal(0, sqrt(2 / (kh*kw*out_ch)))
+# (reference detector.py:326-335).
+conv_kernel_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class ConvBlock(nn.Module):
+    """Conv2d (no bias) + BatchNorm + SiLU with torch-style auto-padding."""
+
+    out_channels: int
+    kernel_size: int = 1
+    stride: int = 1
+    groups: int = 1
+    activation: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = self.kernel_size
+        p = k // 2
+        x = nn.Conv(
+            self.out_channels,
+            (k, k),
+            strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)),
+            feature_group_count=self.groups,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=conv_kernel_init,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.97,
+            epsilon=1e-3,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x)
+        if self.activation:
+            x = nn.silu(x)
+        return x
+
+
+class DepthwiseSeparable(nn.Module):
+    """gcd-grouped conv wrapper (reference blocks.py:44-66)."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    activation: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import math
+
+        groups = math.gcd(self.in_channels, self.out_channels)
+        return ConvBlock(
+            self.out_channels,
+            self.kernel_size,
+            self.stride,
+            groups=groups,
+            activation=self.activation,
+            dtype=self.dtype,
+            name="conv",
+        )(x, train)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 with optional residual; hidden = out * expansion."""
+
+    out_channels: int
+    shortcut: bool = True
+    expansion: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = int(self.out_channels * self.expansion)
+        y = ConvBlock(hidden, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBlock(self.out_channels, 3, 1, dtype=self.dtype, name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.out_channels:
+            y = x + y
+        return y
+
+
+class CSPBlock(nn.Module):
+    """Cross-stage-partial: split -> N bottlenecks || bypass -> concat -> 1x1."""
+
+    out_channels: int
+    num_blocks: int = 1
+    shortcut: bool = True
+    expansion: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = int(self.out_channels * self.expansion)
+        y1 = ConvBlock(hidden, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.num_blocks):
+            y1 = Bottleneck(
+                hidden, self.shortcut, 1.0, dtype=self.dtype, name=f"m{i}"
+            )(y1, train)
+        y2 = ConvBlock(hidden, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        return ConvBlock(self.out_channels, 1, 1, dtype=self.dtype, name="cv3")(y, train)
+
+
+class SPPBlock(nn.Module):
+    """Spatial pyramid pooling: maxpool k in kernel_sizes at stride 1, concat."""
+
+    out_channels: int
+    kernel_sizes: Sequence[int] = (5, 9, 13)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        hidden = in_ch // 2
+        x = ConvBlock(hidden, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        pools = [x]
+        for k in self.kernel_sizes:
+            p = k // 2
+            pools.append(
+                nn.max_pool(
+                    x,
+                    window_shape=(k, k),
+                    strides=(1, 1),
+                    padding=((p, p), (p, p)),
+                )
+            )
+        y = jnp.concatenate(pools, axis=-1)
+        return ConvBlock(self.out_channels, 1, 1, dtype=self.dtype, name="cv2")(y, train)
+
+
+def space_to_depth_2x2(x):
+    """(B, H, W, C) -> (B, H/2, W/2, 4C) in the reference's patch order
+    [top-left, bottom-left, top-right, bottom-right] (blocks.py:176-181)."""
+    return jnp.concatenate(
+        [
+            x[:, ::2, ::2, :],
+            x[:, 1::2, ::2, :],
+            x[:, ::2, 1::2, :],
+            x[:, 1::2, 1::2, :],
+        ],
+        axis=-1,
+    )
+
+
+class FocusBlock(nn.Module):
+    """Space-to-depth 2x2 pixel-unshuffle -> ConvBlock."""
+
+    out_channels: int
+    kernel_size: int = 1
+    stride: int = 1
+    activation: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = space_to_depth_2x2(x)
+        return ConvBlock(
+            self.out_channels,
+            self.kernel_size,
+            self.stride,
+            activation=self.activation,
+            dtype=self.dtype,
+            name="conv",
+        )(x, train)

@@ -1,0 +1,143 @@
+"""SkyEye detector assembly: backbone + neck + head (+ enhanced cross-layer attention).
+
+Capability parity (reference /root/reference/skyeye/core/models/detector.py:234-501):
+  SkyEyeDetectorModule  <- SkyEyeDetector assembly (:234-341) — config-driven
+      backbone/neck/head; strides are architectural [8, 16, 32] (the reference derives
+      the same values from a dummy 64px trace, :291-295).
+  enhanced=True         <- EnhancedSkyEyeDetector (:436-501) — residual
+      CrossLayerAttention P5->P4 then P4->P3 between neck and head (:488-489).
+  parse_model / construct_model (:374-433).
+
+The flax module is a pure function of (params, batch_stats, x). The convenience
+`create_detector` builds the module plus initialized variables. The user-facing
+`SkyEyeDetector(weights=...)` facade with `.show()/.save()` lives in
+skyeye_tpu/api.py (README.md:39-53 capability).
+"""
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig, load_model_config
+from .attention import CrossLayerAttention
+from .backbone import CSPDarknet, feature_channels
+from .head import DetectionHead, decode_predictions
+from .neck import FeatureNeck
+
+
+class SkyEyeDetectorModule(nn.Module):
+    """Full detector: returns raw per-level logits; decode is a separate pure fn."""
+
+    config: ModelConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        cfg = self.config
+        feats = CSPDarknet(
+            base_channels=cfg.base_channels,
+            depth_multiple=cfg.depth_multiple,
+            width_multiple=cfg.width_multiple,
+            dtype=self.dtype,
+            name="backbone",
+        )(x, train)
+
+        channels = feature_channels(cfg.base_channels, cfg.width_multiple)
+        p3, p4, p5 = FeatureNeck(
+            in_channels=tuple(channels), dtype=self.dtype, name="neck"
+        )(feats, train)
+
+        if cfg.enhanced:
+            c3, c4, c5 = channels
+            p4 = (
+                CrossLayerAttention(
+                    query_channels=c4, key_channels=c5, region_size=2, heads=4,
+                    dtype=self.dtype, name="cross_attn_p5_p4",
+                )(p4, p5)
+                + p4
+            )
+            p3 = (
+                CrossLayerAttention(
+                    query_channels=c3, key_channels=c4, region_size=2, heads=4,
+                    dtype=self.dtype, name="cross_attn_p4_p3",
+                )(p3, p4)
+                + p3
+            )
+
+        return DetectionHead(
+            num_classes=cfg.nc,
+            num_anchors=cfg.num_anchors,
+            num_levels=cfg.num_levels,
+            transformer_heads=cfg.transformer_heads,
+            dtype=self.dtype,
+            name="head",
+        )([p3, p4, p5], train)
+
+    def decode(self, outputs, input_shape) -> jnp.ndarray:
+        return decode_predictions(outputs, jnp.asarray(self.config.anchors), input_shape)
+
+
+def create_detector(
+    cfg="skyeye_s",
+    num_classes: Optional[int] = None,
+    anchors=None,
+    dtype=jnp.float32,
+    rng: Optional[jax.Array] = None,
+    img_size: int = 64,
+) -> Tuple[SkyEyeDetectorModule, dict]:
+    """Build module + initialized variables (params, batch_stats).
+
+    Mirrors reference SkyEyeDetector.__init__ overrides (detector.py:260-265):
+    `num_classes` / `anchors` args win over the config file values.
+    """
+    config = load_model_config(cfg)
+    if num_classes is not None and num_classes != config.nc:
+        config = _replace(config, nc=num_classes)
+    if anchors is not None:
+        config = _replace(config, anchors=_normalize_anchors(anchors))
+
+    module = SkyEyeDetectorModule(config=config, dtype=dtype)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    dummy = jnp.zeros((1, img_size, img_size, config.in_channels), dtype)
+    variables = module.init(rng, dummy, train=False)
+    return module, variables
+
+
+def _replace(config: ModelConfig, **kw) -> ModelConfig:
+    import dataclasses
+
+    return dataclasses.replace(config, **kw)
+
+
+def _normalize_anchors(anchors) -> tuple:
+    return tuple(
+        tuple(tuple(float(v) for v in a) for a in level) for level in anchors
+    )
+
+
+def parse_model(model_cfg, in_channels: int = 3) -> dict:
+    """Parse a model configuration into resolved parameters (detector.py:374-406)."""
+    config = load_model_config(model_cfg)
+    return {
+        "base_channels": config.base_channels,
+        "depth_multiple": config.depth_multiple,
+        "width_multiple": config.width_multiple,
+        "nc": config.nc,
+        "in_channels": in_channels,
+        "anchors": [[list(a) for a in level] for level in config.anchors],
+    }
+
+
+def construct_model(model_cfg, in_channels: int = 3, num_classes=None, anchors=None,
+                    dtype=jnp.float32):
+    """Construct (module, variables) from a config (detector.py:409-433)."""
+    return create_detector(model_cfg, num_classes=num_classes, anchors=anchors,
+                           dtype=dtype)
+
+
+def model_strides(config: ModelConfig) -> Tuple[int, ...]:
+    """Architectural strides for the 3 pyramid levels."""
+    return tuple(config.strides)

@@ -1,0 +1,177 @@
+"""Shape/semantics tests for blocks, attention, backbone, neck, head, detector."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from skyeye_tpu.config import ModelConfig
+from skyeye_tpu.models import (
+    CBAM,
+    ConvBlock,
+    CSPBlock,
+    CrossLayerAttention,
+    DetectionHead,
+    FeatureNeck,
+    FocusBlock,
+    SPPBlock,
+    SkyEyeDetectorModule,
+    TransformerLayer,
+    WindowedSelfAttention,
+    create_detector,
+    decode_predictions,
+    feature_channels,
+    space_to_depth_2x2,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def init_apply(module, x, **kw):
+    variables = module.init(KEY, x, **kw)
+    return module.apply(variables, x, **kw)
+
+
+def test_conv_block_shapes():
+    x = jnp.ones((2, 32, 32, 16))
+    out = init_apply(ConvBlock(out_channels=32, kernel_size=3, stride=2), x)
+    assert out.shape == (2, 16, 16, 32)
+    out = init_apply(ConvBlock(out_channels=8, kernel_size=1), x)
+    assert out.shape == (2, 32, 32, 8)
+
+
+def test_focus_space_to_depth():
+    # Focus halves spatial dims and quadruples channels before conv
+    # (reference blocks.py:170-182)
+    x = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
+    s2d = space_to_depth_2x2(x)
+    assert s2d.shape == (2, 4, 4, 12)
+    # patch order: TL, BL, TR, BR
+    np.testing.assert_array_equal(np.asarray(s2d[0, 0, 0, :3]), np.asarray(x[0, 0, 0]))
+    np.testing.assert_array_equal(np.asarray(s2d[0, 0, 0, 3:6]), np.asarray(x[0, 1, 0]))
+    np.testing.assert_array_equal(np.asarray(s2d[0, 0, 0, 6:9]), np.asarray(x[0, 0, 1]))
+    np.testing.assert_array_equal(np.asarray(s2d[0, 0, 0, 9:12]), np.asarray(x[0, 1, 1]))
+    out = init_apply(FocusBlock(out_channels=16, kernel_size=3), x)
+    assert out.shape == (2, 4, 4, 16)
+
+
+def test_csp_spp_shapes():
+    x = jnp.ones((1, 16, 16, 64))
+    assert init_apply(CSPBlock(out_channels=64, num_blocks=2), x).shape == (1, 16, 16, 64)
+    assert init_apply(SPPBlock(out_channels=128), x).shape == (1, 16, 16, 128)
+
+
+def test_cbam_preserves_shape_and_gates():
+    x = jax.random.normal(KEY, (2, 8, 8, 32))
+    out = init_apply(CBAM(), x)
+    assert out.shape == x.shape
+
+
+def test_cross_layer_attention():
+    q = jax.random.normal(KEY, (2, 16, 16, 64))
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 128))
+    m = CrossLayerAttention(query_channels=64, key_channels=128, region_size=2, heads=4)
+    variables = m.init(KEY, q, k)
+    out = m.apply(variables, q, k)
+    assert out.shape == (2, 16, 16, 64)
+
+
+def test_transformer_layer():
+    x = jax.random.normal(KEY, (2, 8, 8, 64))
+    out = init_apply(TransformerLayer(num_heads=4), x)
+    assert out.shape == x.shape
+
+
+def test_windowed_attention():
+    ws, C = 4, 32
+    x = jax.random.normal(KEY, (6, ws * ws, C))  # B*num_windows tokens
+    m = WindowedSelfAttention(dim=C, window_size=ws, num_heads=4)
+    variables = m.init(KEY, x)
+    out = m.apply(variables, x)
+    assert out.shape == x.shape
+    # with shift mask
+    mask = jnp.zeros((3, ws * ws, ws * ws))
+    out = m.apply(variables, x, mask)
+    assert out.shape == x.shape
+
+
+@pytest.mark.parametrize("variant,width", [("s", 0.5), ("m", 0.75)])
+def test_detector_feature_shapes(variant, width):
+    cfg = ModelConfig.from_variant(variant, nc=10)
+    module = SkyEyeDetectorModule(config=cfg)
+    x = jnp.zeros((1, 128, 128, 3))
+    variables = module.init(KEY, x, train=False)
+    outs = module.apply(variables, x, train=False)
+    chans = feature_channels(cfg.base_channels, cfg.width_multiple)
+    assert len(outs) == 3
+    for out, stride in zip(outs, (8, 16, 32)):
+        B, H, W, na, no = out.shape
+        assert (H, W) == (128 // stride, 128 // stride)
+        assert na == 3 and no == 15
+
+
+def test_decode_formula_fixed_vector():
+    """Hand-computed decode check (reference detector.py:137-138)."""
+    nc = 2
+    B, H, W, na = 1, 2, 2, 1
+    raw = np.zeros((B, H, W, na, 5 + nc), np.float32)
+    # logit 0 -> sigmoid 0.5 everywhere
+    anchors = np.array([[[2.0, 3.0]]])  # 1 level, 1 anchor, grid units
+    out = decode_predictions([jnp.asarray(raw)], anchors, (64, 64))
+    out = np.asarray(out)  # (1, 4, 7)
+    stride = 32.0  # 64/2
+    # sigmoid(0)=0.5: xy = (2*0.5 - 0.5 + grid)*stride = (0.5+grid)*32
+    # wh = (2*0.5)^2 * anchor * stride = anchor*32
+    # flatten order is anchor-major then row-major over (H, W)
+    exp_xy = np.array([[0.5, 0.5], [1.5, 0.5], [0.5, 1.5], [1.5, 1.5]]) * stride
+    np.testing.assert_allclose(out[0, :, :2], exp_xy, rtol=1e-5)
+    np.testing.assert_allclose(out[0, :, 2], 2.0 * stride * np.ones(4), rtol=1e-5)
+    np.testing.assert_allclose(out[0, :, 3], 3.0 * stride * np.ones(4), rtol=1e-5)
+    np.testing.assert_allclose(out[0, :, 4:], 0.5 * np.ones((4, 3)), rtol=1e-5)
+
+
+def test_create_detector_and_decode_pipeline():
+    module, variables = create_detector("skyeye_s", num_classes=5)
+    x = jnp.zeros((1, 64, 64, 3))
+    outs = module.apply(variables, x, train=False)
+    dec = module.decode(outs, (64, 64))
+    n = sum(3 * (64 // s) ** 2 for s in (8, 16, 32))
+    assert dec.shape == (1, n, 10)
+    # decoded xy within input bounds (+/- half stride), wh positive
+    dec = np.asarray(dec)
+    assert np.all(dec[..., 2:4] > 0)
+    assert np.all(dec[..., 4:] >= 0) and np.all(dec[..., 4:] <= 1)
+
+
+def test_enhanced_detector():
+    cfg = ModelConfig.from_variant("s", nc=4)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, enhanced=True)
+    module = SkyEyeDetectorModule(config=cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = module.init(KEY, x, train=False)
+    outs = module.apply(variables, x, train=False)
+    assert len(outs) == 3
+    assert "cross_attn_p5_p4" in variables["params"]
+
+
+def test_transformer_heads_detector():
+    cfg = ModelConfig.from_variant("s", nc=4)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, transformer_heads=True)
+    module = SkyEyeDetectorModule(config=cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = module.init(KEY, x, train=False)
+    outs = module.apply(variables, x, train=False)
+    assert len(outs) == 3
+
+
+def test_batchnorm_train_mode_updates_stats():
+    x = jax.random.normal(KEY, (4, 16, 16, 8)) * 3 + 1
+    m = ConvBlock(out_channels=8, kernel_size=3)
+    variables = m.init(KEY, x, train=True)
+    out, updates = m.apply(variables, x, train=True, mutable=["batch_stats"])
+    before = variables["batch_stats"]["bn"]["mean"]
+    after = updates["batch_stats"]["bn"]["mean"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
