@@ -1,0 +1,82 @@
+"""Device mesh + sharding utilities — the TPU-native replacement for DDP/NCCL.
+
+Capability parity (reference, SURVEY.md §2.6): the reference's distributed story is
+torch DDP — `DistributedDataParallel` (skyeye/cli/train.py:21), `DistributedSampler`
+(skyeye/core/data/loaders.py:57-61), rank-0 barriers (skyeye/utils/torch_utils.py:24-36)
+with NCCL all-reduce implied. TPU-native redesign: a `jax.sharding.Mesh` over
+("data", "spatial") axes; the train step is jitted with sharding annotations and XLA
+inserts the gradient psum over ICI. No process groups, no samplers — inputs are
+sharded by batch (data parallelism) and optionally by image rows (spatial
+partitioning, the CNN analogue of sequence parallelism: XLA GSPMD performs conv halo
+exchange automatically).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
+
+
+def create_mesh(
+    n_data: Optional[int] = None,
+    n_spatial: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Create a ("data", "spatial") mesh over the available devices.
+
+    Defaults to pure data parallelism over all devices (n_spatial=1).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_spatial
+    if n_data * n_spatial != len(devices):
+        devices = devices[: n_data * n_spatial]
+    arr = np.array(devices).reshape(n_data, n_spatial)
+    return Mesh(arr, (DATA_AXIS, SPATIAL_AXIS))
+
+
+def batch_sharding(mesh: Mesh, spatial_dim: Optional[int] = None) -> NamedSharding:
+    """Sharding for an image batch (B, H, W, C): batch over data axis, optionally
+    rows over the spatial axis (GSPMD handles conv halos)."""
+    if spatial_dim is None:
+        return NamedSharding(mesh, P(DATA_AXIS))
+    spec = [DATA_AXIS, None, None, None]
+    spec[spatial_dim] = SPATIAL_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, spatial: bool = False):
+    """Place a host batch pytree onto the mesh: arrays with a leading batch dim are
+    sharded over the data axis; rank-4 image tensors optionally spatially sharded."""
+    def place(x):
+        x = np.asarray(x)
+        if x.ndim >= 4 and spatial:
+            sh = NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
+        elif x.ndim >= 1:
+            sh = NamedSharding(mesh, P(DATA_AXIS))
+        else:
+            sh = replicated(mesh)
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(place, batch)
+
+
+def is_main_process() -> bool:
+    """Rank-0 gate (replaces reference's RANK env checks, general.py:33-36)."""
+    return jax.process_index() == 0
+
+
+def local_batch_size(global_batch: int, mesh: Mesh) -> int:
+    n = mesh.shape[DATA_AXIS]
+    if global_batch % n:
+        raise ValueError(f"global batch {global_batch} not divisible by data axis {n}")
+    return global_batch // n

@@ -1,0 +1,64 @@
+"""Optimizer construction: SGD-nesterov / Adam with YOLOv5-style parameter groups.
+
+Capability parity (reference /root/reference/skyeye/cli/train.py:94-120): three param
+groups — biases (no weight decay), BatchNorm scales (no decay), other weights
+(decayed) — SGD(momentum=0.937, nesterov) or Adam(betas=(momentum, 0.999)); weight
+decay is rescaled by total_batch/nominal(64) with gradient accumulation to the
+nominal batch (train.py:94-96).
+
+TPU-native: one optax chain with a decay mask over the param pytree instead of three
+torch param groups; accumulation via optax.MultiSteps (one jitted step, no host loop).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import optax
+
+NOMINAL_BATCH = 64
+
+
+def decay_mask(params) -> Any:
+    """True for parameters that receive weight decay: conv/dense kernels only.
+    Biases and all BatchNorm parameters (scale/bias, named under 'bn') are excluded."""
+    def mask_fn(path, _):
+        names = [getattr(k, "key", str(k)) for k in path]
+        leaf = names[-1]
+        in_bn = any(n == "bn" or n.startswith("norm") for n in names)
+        return leaf == "kernel" and not in_bn
+
+    return jax.tree_util.tree_map_with_path(mask_fn, params)
+
+
+def accumulation_steps(batch_size: int, nominal: int = NOMINAL_BATCH) -> int:
+    return max(round(nominal / batch_size), 1)
+
+
+def build_optimizer(
+    lr_schedule: Callable,
+    hyp: Dict[str, float],
+    params,
+    adam: bool = False,
+    batch_size: int = 16,
+    accumulate: Optional[int] = None,
+) -> optax.GradientTransformation:
+    accum = accumulate if accumulate is not None else accumulation_steps(batch_size)
+    # weight-decay rescale to the effective (accumulated) batch (train.py:96)
+    wd = hyp["weight_decay"] * batch_size * accum / NOMINAL_BATCH
+
+    if adam:
+        inner = optax.chain(
+            optax.add_decayed_weights(wd, mask=decay_mask),
+            optax.scale_by_adam(b1=hyp["momentum"], b2=0.999),
+            optax.scale_by_learning_rate(lr_schedule),
+        )
+    else:
+        inner = optax.chain(
+            optax.add_decayed_weights(wd, mask=decay_mask),
+            optax.trace(decay=hyp["momentum"], nesterov=True),
+            optax.scale_by_learning_rate(lr_schedule),
+        )
+    if accum > 1:
+        return optax.MultiSteps(inner, every_k_schedule=accum)
+    return inner

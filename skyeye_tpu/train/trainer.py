@@ -1,0 +1,127 @@
+"""Training step + state: the pjit-compiled SPMD train loop core.
+
+Capability parity (reference /root/reference/skyeye/cli/train.py — the epoch loop is
+truncated at :159; reconstructed per YOLOv5 convention, SURVEY.md §3.1): AMP forward,
+ComputeLoss, gradient accumulation, EMA update, early stopping, fitness metric.
+
+TPU-native redesign: a single jitted `train_step(state, batch)` carries params,
+BatchNorm stats, optimizer state, and EMA as one sharded pytree. Data parallelism is
+expressed by sharding the batch over the mesh's "data" axis — XLA inserts the gradient
+all-reduce (psum over ICI); BatchNorm statistics are computed over the GLOBAL batch
+automatically (synced-BN semantics) because the reduction is over a sharded axis.
+Mixed precision = bfloat16 activations with float32 params/stats (instead of torch
+AMP GradScaler — bf16 needs no loss scaling).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .ema import EMAState, ema_init, ema_update
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema: EMAState
+    step: jnp.ndarray  # () int32
+
+
+def create_train_state(variables, tx: optax.GradientTransformation) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        ema=ema_init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(
+    module,
+    loss_fn,
+    tx: optax.GradientTransformation,
+    ema_decay: float = 0.9999,
+) -> Callable:
+    """Build the jittable train step.
+
+    loss_fn(predictions, targets, mask) -> (loss, aux[3]).
+    Batch: dict(images=(B,H,W,C) float, targets=(B,M,6), mask=(B,M) bool) where
+    targets are per-image [_, cls, x, y, w, h]; the image index column is filled here
+    from the row position so host code never needs global indices.
+    """
+
+    def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        images = batch["images"]
+        B, M = batch["targets"].shape[0], batch["targets"].shape[1]
+        img_idx = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.float32)[:, None], (B, M)
+        )
+        flat_targets = batch["targets"].reshape(B * M, 6)
+        flat_targets = flat_targets.at[:, 0].set(img_idx.reshape(-1))
+        flat_mask = batch["mask"].reshape(B * M)
+
+        def loss_of(params):
+            outs, updates = module.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss, aux = loss_fn(outs, flat_targets, flat_mask)
+            return loss, (aux, updates["batch_stats"])
+
+        (loss, (aux, new_stats)), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = ema_update(state.ema, new_params, decay=ema_decay)
+
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            ema=new_ema,
+            step=state.step + 1,
+        )
+        metrics = {
+            "loss": loss,
+            "box": aux[0],
+            "obj": aux[1],
+            "cls": aux[2],
+        }
+        return new_state, metrics
+
+    return step_fn
+
+
+def fitness(metrics: Dict[str, float]) -> float:
+    """Weighted model fitness: 0.1*mAP@50 + 0.9*mAP@50:95 (YOLOv5 convention the
+    reference imports as `fitness`, train.py:38; SURVEY.md §2.7#5)."""
+    return 0.1 * float(metrics.get("map50", 0.0)) + 0.9 * float(
+        metrics.get("map", 0.0)
+    )
+
+
+class EarlyStopping:
+    """Stop after `patience` epochs without fitness improvement
+    (reference torch_utils.py:361-403)."""
+
+    def __init__(self, patience: int = 30):
+        self.patience = patience or float("inf")
+        self.best_fitness = 0.0
+        self.best_epoch = 0
+
+    def __call__(self, epoch: int, fit: float) -> bool:
+        if fit >= self.best_fitness:
+            self.best_fitness = fit
+            self.best_epoch = epoch
+        stop = (epoch - self.best_epoch) >= self.patience
+        return stop

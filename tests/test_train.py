@@ -1,0 +1,159 @@
+"""Training-step tests: loss decreases on a tiny model, EMA, schedules, optimizer
+groups, and SPMD data parallelism on the 8-device virtual mesh."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from skyeye_tpu.config import DEFAULT_HYP, ModelConfig
+from skyeye_tpu.losses import ComputeLoss
+from skyeye_tpu.models import SkyEyeDetectorModule
+from skyeye_tpu.parallel import DATA_AXIS, batch_sharding, create_mesh, replicated
+from skyeye_tpu.train import (
+    EarlyStopping,
+    build_optimizer,
+    create_train_state,
+    decay_mask,
+    ema_init,
+    ema_update,
+    fitness,
+    make_lr_schedule,
+    make_train_step,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def tiny_model(nc=3):
+    cfg = ModelConfig(nc=nc, base_channels=16, depth_multiple=0.33, width_multiple=0.25)
+    module = SkyEyeDetectorModule(config=cfg)
+    x = jnp.zeros((2, 64, 64, 3))
+    variables = module.init(KEY, x, train=True)
+    return cfg, module, variables
+
+
+def make_batch(B=2, M=8, nc=3, seed=0):
+    rng = np.random.default_rng(seed)
+    images = rng.uniform(0, 1, (B, 64, 64, 3)).astype(np.float32)
+    targets = np.zeros((B, M, 6), np.float32)
+    mask = np.zeros((B, M), bool)
+    for b in range(B):
+        n = 3
+        for t in range(n):
+            targets[b, t] = [0, rng.integers(0, nc), rng.uniform(0.3, 0.7),
+                             rng.uniform(0.3, 0.7), rng.uniform(0.1, 0.3),
+                             rng.uniform(0.1, 0.3)]
+            mask[b, t] = True
+    return {
+        "images": jnp.asarray(images),
+        "targets": jnp.asarray(targets),
+        "mask": jnp.asarray(mask),
+    }
+
+
+def test_train_step_reduces_loss():
+    cfg, module, variables = tiny_model()
+    loss_fn = ComputeLoss(jnp.asarray(cfg.anchors), cfg.nc)
+    sched = make_lr_schedule(DEFAULT_HYP, epochs=10, steps_per_epoch=10)
+    tx = build_optimizer(lambda s: 0.05, DEFAULT_HYP, variables["params"],
+                         batch_size=64)  # accumulate=1
+    state = create_train_state(variables, tx)
+    step = jax.jit(make_train_step(module, loss_fn, tx))
+
+    batch = make_batch()
+    losses = []
+    for i in range(15):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 15
+    assert int(state.ema.updates) == 15
+
+
+def test_train_step_data_parallel_mesh():
+    """Same step under an 8-device data-parallel mesh: global-batch semantics."""
+    assert len(jax.devices()) == 8
+    mesh = create_mesh()
+    cfg, module, variables = tiny_model()
+    loss_fn = ComputeLoss(jnp.asarray(cfg.anchors), cfg.nc)
+    tx = build_optimizer(lambda s: 0.05, DEFAULT_HYP, variables["params"],
+                         batch_size=64)
+    state = create_train_state(variables, tx)
+    step_fn = make_train_step(module, loss_fn, tx)
+
+    batch = make_batch(B=8)
+    b_shard = batch_sharding(mesh)
+    rep = replicated(mesh)
+    batch = {
+        "images": jax.device_put(batch["images"], b_shard),
+        "targets": jax.device_put(batch["targets"], b_shard),
+        "mask": jax.device_put(batch["mask"], b_shard),
+    }
+    state = jax.device_put(state, rep)
+    with jax.set_mesh(mesh):
+        step = jax.jit(step_fn)
+        state2, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+    # single-device result must match the sharded result (same global batch)
+    state_sd, metrics_sd = jax.jit(step_fn)(
+        jax.device_put(state, jax.devices()[0]),
+        jax.tree_util.tree_map(lambda x: jax.device_put(x, jax.devices()[0]), batch),
+    )
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(metrics_sd["loss"]), rtol=2e-4
+    )
+
+
+def test_ema_ramp():
+    params = {"w": jnp.ones((4,))}
+    st = ema_init(params)
+    new = {"w": jnp.zeros((4,))}
+    st = ema_update(st, new, decay=0.9999, tau=2000.0)
+    # after 1 update, d ~ decay*(1-exp(-1/2000)) ~ 5e-5 -> EMA moves almost to new
+    assert float(st.params["w"][0]) < 1e-3
+    # many updates toward 1.0 -> EMA approaches 1.0; decay factor grows with t
+    for _ in range(50):
+        st = ema_update(st, {"w": jnp.ones((4,))}, decay=0.9999)
+    assert 0.5 < float(st.params["w"][0]) <= 1.0
+    # with a large tau later in training the EMA must move slowly
+    st2 = st._replace(updates=jnp.asarray(100000, jnp.int32))
+    st2 = ema_update(st2, {"w": jnp.zeros((4,))}, decay=0.9999)
+    assert float(st2.params["w"][0]) > 0.99
+
+
+def test_lr_schedule_shape():
+    sched = make_lr_schedule(dict(DEFAULT_HYP), epochs=100, steps_per_epoch=10)
+    lrs = [float(sched(s)) for s in [0, 50, 300, 500, 999]]
+    # warmup rises
+    assert lrs[0] < lrs[1] <= DEFAULT_HYP["lr0"] + 1e-9
+    # decays toward lr0*lrf
+    assert lrs[-1] < lrs[2]
+    assert abs(lrs[-1] - DEFAULT_HYP["lr0"] * DEFAULT_HYP["lrf"]) < 0.002
+
+
+def test_decay_mask_structure():
+    _, module, variables = tiny_model()
+    mask = decay_mask(variables["params"])
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    decayed = [p for p, v in flat if v]
+    not_decayed = [p for p, v in flat if not v]
+    assert decayed and not_decayed
+    for path, v in flat:
+        names = [getattr(k, "key", str(k)) for k in path]
+        if "bn" in names:
+            assert not v, f"BN param decayed: {names}"
+        if names[-1] == "bias":
+            assert not v, f"bias decayed: {names}"
+
+
+def test_early_stopping_and_fitness():
+    es = EarlyStopping(patience=3)
+    assert not es(0, 0.5)
+    assert not es(1, 0.4)
+    assert not es(2, 0.4)
+    assert es(3, 0.4)  # 3 epochs without improvement
+    f = fitness({"map50": 1.0, "map": 0.0})
+    assert abs(f - 0.1) < 1e-9
