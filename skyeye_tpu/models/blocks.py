@@ -39,6 +39,10 @@ class ConvBlock(nn.Module):
     groups: int = 1
     activation: bool = True
     dtype: Any = jnp.float32
+    # torch BatchNorm2d defaults (the reference uses stock nn.BatchNorm2d,
+    # blocks.py:32): eps=1e-5; torch momentum 0.1 == flax momentum 0.9
+    bn_eps: float = 1e-5
+    bn_momentum: float = 0.9
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -58,8 +62,8 @@ class ConvBlock(nn.Module):
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
-            momentum=0.97,
-            epsilon=1e-3,
+            momentum=self.bn_momentum,
+            epsilon=self.bn_eps,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="bn",

@@ -1,0 +1,97 @@
+"""Metric machinery tests: AP on synthetic PR data, matching, confusion matrix."""
+import numpy as np
+
+from skyeye_tpu.utils.metrics import (
+    ConfusionMatrix,
+    ap_per_class,
+    box_iou_np,
+    compute_ap,
+    process_batch,
+)
+
+
+def test_compute_ap_perfect():
+    ap, _, _ = compute_ap(np.array([0.5, 1.0]), np.array([1.0, 1.0]))
+    assert ap > 0.99
+
+
+def test_compute_ap_half():
+    # all predictions wrong after 50% recall with precision dropping
+    ap, _, _ = compute_ap(np.array([0.5]), np.array([0.5]))
+    assert 0.2 < ap < 0.8
+
+
+def test_ap_per_class_perfect_detection():
+    """Predictions identical to GT -> AP 1.0 (SURVEY.md §4 integration seam)."""
+    n = 20
+    tp = np.ones((n, 10), bool)
+    conf = np.linspace(0.9, 0.5, n)
+    pred_cls = np.zeros(n)
+    target_cls = np.zeros(n)
+    tp_c, fp_c, p, r, f1, ap, classes = ap_per_class(tp, conf, pred_cls, target_cls)
+    assert ap.shape == (1, 10)
+    assert ap[0, 0] > 0.99
+    assert r[0] > 0.99
+
+
+def test_ap_per_class_all_wrong():
+    n = 10
+    tp = np.zeros((n, 10), bool)
+    conf = np.random.default_rng(0).uniform(0.3, 0.9, n)
+    tp_c, fp_c, p, r, f1, ap, classes = ap_per_class(tp, conf, np.zeros(n), np.zeros(n))
+    assert ap[0, 0] < 0.05
+
+
+def test_process_batch_matching():
+    iouv = np.linspace(0.5, 0.95, 10)
+    # one detection exactly on GT, one off
+    det = np.array(
+        [
+            [10, 10, 50, 50, 0.9, 0],
+            [100, 100, 140, 140, 0.8, 1],
+        ],
+        np.float32,
+    )
+    labels = np.array([[0, 10, 10, 50, 50]], np.float32)
+    correct = process_batch(det, labels, iouv)
+    assert correct.shape == (2, 10)
+    assert correct[0].all()  # perfect match at every threshold
+    assert not correct[1].any()  # no GT for class 1
+
+
+def test_process_batch_greedy_dedup():
+    iouv = np.array([0.5])
+    det = np.array(
+        [
+            [10, 10, 50, 50, 0.9, 0],
+            [11, 11, 51, 51, 0.95, 0],  # overlaps same GT with higher IoU order
+        ],
+        np.float32,
+    )
+    labels = np.array([[0, 10, 10, 50, 50]], np.float32)
+    correct = process_batch(det, labels, iouv)
+    assert correct.sum() == 1  # only one detection credited
+
+
+def test_confusion_matrix():
+    cm = ConfusionMatrix(nc=3)
+    det = np.array([[10, 10, 50, 50, 0.9, 0], [200, 200, 240, 240, 0.8, 2]], np.float32)
+    labels = np.array([[0, 10, 10, 50, 50], [1, 300, 300, 340, 340]], np.float32)
+    cm.process_batch(det, labels)
+    assert cm.matrix[0, 0] == 1      # class 0 correct
+    assert cm.matrix[3, 1] == 1      # class 1 GT missed -> background FN
+    assert cm.matrix[2, 3] == 1      # class 2 det unmatched -> background FP
+    tp, fp = cm.tp_fp()
+    assert tp[0] == 1 and fp[2] == 1
+
+    # no detections -> all GT to background FN
+    cm2 = ConfusionMatrix(nc=3)
+    cm2.process_batch(None, labels)
+    assert cm2.matrix[3, 0] == 1 and cm2.matrix[3, 1] == 1
+
+
+def test_box_iou_np():
+    a = np.array([[0, 0, 10, 10]], np.float32)
+    b = np.array([[0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]], np.float32)
+    iou = box_iou_np(a, b)
+    np.testing.assert_allclose(iou[0], [1.0, 25 / 175, 0.0], atol=1e-4)

@@ -1,0 +1,172 @@
+"""Golden numerical parity: repaired reference torch model vs this framework.
+
+The shipped reference cannot run as-is — its SkyEyeBackbone reports wrong channel
+counts, crashing the neck on forward (SURVEY.md §8#7) — so parity is established
+against a minimally REPAIRED execution (only the channel report is corrected), per
+SURVEY.md §7 "Reference is broken as-is".
+"""
+import importlib.util
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = Path("/root/reference/skyeye/core/models")
+
+
+@pytest.fixture(scope="module")
+def refmod():
+    """Import the reference model modules as a standalone package."""
+    pkg = types.ModuleType("refmod")
+    pkg.__path__ = [str(REF)]
+    sys.modules["refmod"] = pkg
+    mods = {}
+    for name in ["blocks", "attention", "backbone", "detector"]:
+        spec = importlib.util.spec_from_file_location(f"refmod.{name}", REF / f"{name}.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"refmod.{name}"] = mod
+        spec.loader.exec_module(mod)
+        mods[name] = mod
+    return mods
+
+
+@pytest.fixture(scope="module")
+def ref_model(refmod):
+    """Construct the repaired reference model (s-variant geometry, 8 classes)."""
+    backbone_mod = refmod["backbone"]
+    detector_mod = refmod["detector"]
+
+    # REPAIR: report the channels the backbone actually emits
+    class FixedBackbone(backbone_mod.SkyEyeBackbone):
+        def __init__(self, base_channels=64, depth_multiple=1.0, width_multiple=1.0):
+            super().__init__(base_channels, depth_multiple, width_multiple)
+            def sc(x):
+                return max(round(x * width_multiple), 1)
+            self.channels = [
+                sc(base_channels * 4), sc(base_channels * 8), sc(base_channels * 16)
+            ]
+
+    detector_mod.SkyEyeBackbone = FixedBackbone
+
+    # REPAIR 2: the reference init crashes on bias-free Linear layers (the CBAM MLP;
+    # detector.py:339-341 `m.bias.data` with bias=None) — guard the None case
+    def safe_init(self):
+        for m in self.modules():
+            if isinstance(m, torch.nn.Conv2d):
+                n = m.kernel_size[0] * m.kernel_size[1] * m.out_channels
+                m.weight.data.normal_(0, (2.0 / n) ** 0.5)
+                if m.bias is not None:
+                    m.bias.data.zero_()
+            elif isinstance(m, torch.nn.BatchNorm2d):
+                m.weight.data.fill_(1)
+                m.bias.data.zero_()
+            elif isinstance(m, torch.nn.Linear):
+                m.weight.data.normal_(0, 0.01)
+                if m.bias is not None:
+                    m.bias.data.zero_()
+
+    detector_mod.SkyEyeDetector._initialize_weights = safe_init
+    cfg = {"nc": 8, "base_channels": 16, "depth_multiple": 0.33, "width_multiple": 1.0}
+    # width_multiple=1.0 is the only value at which the reference neck can run
+    # (it re-scales already-scaled channels, SURVEY.md §8); small base keeps it fast
+    torch.manual_seed(7)
+    model = detector_mod.SkyEyeDetector(cfg, 3)
+    model.eval()
+    return model, cfg
+
+
+def test_forward_parity(ref_model):
+    """Converted weights + same input -> same decoded output to ~1e-3."""
+    import jax.numpy as jnp
+
+    from skyeye_tpu.config import ModelConfig
+    from skyeye_tpu.models import SkyEyeDetectorModule, decode_predictions
+    from skyeye_tpu.utils.checkpoint import convert_torch_state_dict, merge_matching
+
+    model, cfg = ref_model
+    rng = np.random.default_rng(11)
+    x = rng.uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+
+    with torch.no_grad():
+        decoded_ref, raw_ref = model(torch.tensor(x))
+    decoded_ref = decoded_ref.numpy()
+
+    # our model with identical anchors: the reference default COCO-pixel list
+    # interpreted as grid units (detector.py:39-43)
+    anchors = tuple(
+        tuple(tuple(float(v) for v in a) for a in level)
+        for level in [
+            [[10, 13], [16, 30], [33, 23]],
+            [[30, 61], [62, 45], [59, 119]],
+            [[116, 90], [156, 198], [373, 326]],
+        ]
+    )
+    mcfg = ModelConfig(
+        nc=cfg["nc"], base_channels=cfg["base_channels"],
+        depth_multiple=cfg["depth_multiple"], width_multiple=cfg["width_multiple"],
+        anchors=anchors,
+    )
+    module = SkyEyeDetectorModule(config=mcfg)
+    import jax
+
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+
+    converted = convert_torch_state_dict(model.state_dict())
+    params, n_loaded, n_total = merge_matching(variables["params"], converted["params"])
+    stats, n_stats, n_stats_total = merge_matching(
+        variables["batch_stats"], converted["batch_stats"]
+    )
+    # every parameter must be mapped — anything unmatched is a converter bug
+    assert n_loaded == n_total, f"only {n_loaded}/{n_total} params mapped"
+    assert n_stats == n_stats_total
+
+    x_nhwc = jnp.asarray(x.transpose(0, 2, 3, 1))
+    outs = module.apply({"params": params, "batch_stats": stats}, x_nhwc, train=False)
+    decoded = np.asarray(decode_predictions(outs, jnp.asarray(anchors), (64, 64)))
+
+    assert decoded.shape == decoded_ref.shape
+    # boxes are in pixels (magnitudes ~1e2-1e4 for the quirky P5 anchors); compare
+    # with mixed tolerance
+    np.testing.assert_allclose(decoded, decoded_ref, rtol=2e-3, atol=2e-3)
+
+
+def test_raw_output_parity(ref_model):
+    """Per-level raw logits match after layout transpose."""
+    import jax
+    import jax.numpy as jnp
+
+    from skyeye_tpu.config import ModelConfig
+    from skyeye_tpu.models import SkyEyeDetectorModule, to_reference_layout
+    from skyeye_tpu.utils.checkpoint import convert_torch_state_dict, merge_matching
+
+    model, cfg = ref_model
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    # eval forward returns (decoded, raw) (detector.py:320-322); use the raw half so
+    # BatchNorm runs on running stats in both frameworks
+    with torch.no_grad():
+        _, raw_ref = model(torch.tensor(x))
+
+    mcfg = ModelConfig(
+        nc=cfg["nc"], base_channels=cfg["base_channels"],
+        depth_multiple=cfg["depth_multiple"], width_multiple=cfg["width_multiple"],
+    )
+    module = SkyEyeDetectorModule(config=mcfg)
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    converted = convert_torch_state_dict(model.state_dict())
+    params, _, _ = merge_matching(variables["params"], converted["params"])
+    stats, _, _ = merge_matching(variables["batch_stats"], converted["batch_stats"])
+
+    outs = module.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False,
+    )
+    ours_ref_layout = to_reference_layout(outs)
+    for mine, theirs in zip(ours_ref_layout, raw_ref):
+        np.testing.assert_allclose(
+            np.asarray(mine), theirs.numpy(), rtol=2e-3, atol=2e-3
+        )
