@@ -7,3 +7,15 @@ pipelines, and fixed-shape on-device decode+NMS.
 """
 
 __version__ = "0.1.0"
+
+from .api import Results, SkyEyeDetector  # noqa: E402
+from .config import DataConfig, ModelConfig, load_hyp  # noqa: E402
+
+__all__ = [
+    "Results",
+    "SkyEyeDetector",
+    "DataConfig",
+    "ModelConfig",
+    "load_hyp",
+    "__version__",
+]

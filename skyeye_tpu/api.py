@@ -1,0 +1,287 @@
+"""High-level predict API: SkyEyeDetector facade + Results container.
+
+Capability parity (reference README.md:39-53, SURVEY.md §2.7#1):
+    model = SkyEyeDetector(weights='weights/skyeye_l.pt')
+    results = model('path/to/image.jpg')
+    results.show(); results.save('outputs/')
+The reference class actually takes `cfg` and returns tensors; this facade provides the
+declared hub-style API on top of the functional core: one jitted
+preprocess->forward->decode->NMS executable per input shape, weights from torch .pt /
+orbax dirs / variant names, `.warmup()`, `.model_info()`, and a Results object with
+`.show() / .save() / .crop() / .pandas() / .xyxy` accessors.
+
+TPU-native: everything between the raw uint8 frame and the (max_det, 6) detection
+array is ONE XLA launch with static shapes — letterbox resample, normalize, backbone,
+decode, and NMS never leave the device (BASELINE.json north star).
+"""
+from __future__ import annotations
+
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ModelConfig
+from .models.head import decode_predictions
+from .ops.letterbox import letterbox_params
+from .ops.nms import _nms_single_impl
+from .utils.general import LOGGER, check_img_size
+from .utils.visualization import Annotator, colors
+
+
+class Results:
+    """Detection results for a batch of images (hub-style accessors)."""
+
+    def __init__(self, detections: List[np.ndarray], images: List[np.ndarray],
+                 paths: List[str], names: Sequence[str], times: Dict[str, float]):
+        self.detections = detections  # per image (n, 6) [x1, y1, x2, y2, conf, cls]
+        self.images = images          # original BGR frames
+        self.paths = paths
+        self.names = list(names)
+        self.times = times            # ms per stage
+
+    def __len__(self) -> int:
+        return len(self.detections)
+
+    @property
+    def xyxy(self) -> List[np.ndarray]:
+        return self.detections
+
+    @property
+    def xywh(self) -> List[np.ndarray]:
+        out = []
+        for det in self.detections:
+            d = det.copy()
+            if len(d):
+                d[:, 0] = (det[:, 0] + det[:, 2]) / 2
+                d[:, 1] = (det[:, 1] + det[:, 3]) / 2
+                d[:, 2] = det[:, 2] - det[:, 0]
+                d[:, 3] = det[:, 3] - det[:, 1]
+            out.append(d)
+        return out
+
+    def pandas(self):
+        """Per-image pandas DataFrames with named columns."""
+        import pandas as pd
+
+        cols = ["xmin", "ymin", "xmax", "ymax", "confidence", "class"]
+        frames = []
+        for det in self.detections:
+            df = pd.DataFrame(det, columns=cols)
+            df["name"] = [
+                self.names[int(c)] if int(c) < len(self.names) else str(int(c))
+                for c in df["class"]
+            ]
+            frames.append(df)
+        return frames
+
+    def render(self) -> List[np.ndarray]:
+        """Annotated copies of the original images (BGR)."""
+        out = []
+        for im, det in zip(self.images, self.detections):
+            ann = Annotator(im.copy())
+            for *xyxy, conf, cls in det:
+                c = int(cls)
+                name = self.names[c] if c < len(self.names) else str(c)
+                ann.box_label(xyxy, f"{name} {conf:.2f}", colors(c, True))
+            out.append(ann.result())
+        return out
+
+    def show(self):
+        try:
+            import cv2
+
+            for i, im in enumerate(self.render()):
+                cv2.imshow(f"skyeye {i}", im)
+            cv2.waitKey(0)
+        except Exception as e:
+            LOGGER.warning("show() unavailable (%s); use save() instead", e)
+
+    def save(self, save_dir: Union[str, Path] = "runs/detect") -> List[Path]:
+        import cv2
+
+        save_dir = Path(save_dir)
+        save_dir.mkdir(parents=True, exist_ok=True)
+        files = []
+        for i, im in enumerate(self.render()):
+            name = Path(self.paths[i]).name if i < len(self.paths) else f"image{i}.jpg"
+            f = save_dir / name
+            cv2.imwrite(str(f), im)
+            files.append(f)
+        LOGGER.info("saved %d annotated images to %s", len(files), save_dir)
+        return files
+
+    def crop(self, save_dir: Union[str, Path] = "runs/detect/crops") -> List[np.ndarray]:
+        from .utils.visualization import save_one_box
+
+        crops = []
+        for i, det in enumerate(self.detections):
+            for j, (*xyxy, conf, cls) in enumerate(det):
+                name = self.names[int(cls)] if int(cls) < len(self.names) else str(int(cls))
+                crops.append(
+                    save_one_box(
+                        xyxy, self.images[i],
+                        file=Path(save_dir) / name / f"{Path(self.paths[i]).stem}_{j}.jpg",
+                    )
+                )
+        return crops
+
+    def print(self):
+        for i, det in enumerate(self.detections):
+            counts = {}
+            for c in det[:, 5].astype(int) if len(det) else []:
+                counts[c] = counts.get(c, 0) + 1
+            s = ", ".join(
+                f"{n} {self.names[c] if c < len(self.names) else c}"
+                f"{'s' if n > 1 else ''}"
+                for c, n in counts.items()
+            )
+            LOGGER.info("image %d/%d: %s", i + 1, len(self.detections), s or "no detections")
+
+
+class SkyEyeDetector:
+    """User-facing detector: construct from weights or config, call on images."""
+
+    def __init__(
+        self,
+        weights: Optional[Union[str, Path]] = None,
+        cfg: Union[str, dict, ModelConfig] = "skyeye_s",
+        num_classes: Optional[int] = None,
+        img_size: int = 640,
+        conf_thres: float = 0.25,
+        iou_thres: float = 0.45,
+        max_det: int = 300,
+        dtype: Any = jnp.float32,
+        names: Optional[Sequence[str]] = None,
+        fuse: bool = True,
+    ):
+        from .utils.checkpoint import load_model
+
+        if weights is not None:
+            self.module, self.variables, self.config = load_model(
+                weights, num_classes=num_classes, dtype=dtype, fuse=fuse
+            )
+        else:
+            from .models.detector import create_detector
+
+            self.module, self.variables = create_detector(
+                cfg, num_classes=num_classes, dtype=dtype
+            )
+            self.config = self.module.config
+
+        self.stride = int(max(self.config.strides))
+        self.img_size = check_img_size(img_size, self.stride)
+        self.conf_thres = conf_thres
+        self.iou_thres = iou_thres
+        self.max_det = max_det
+        self.names = list(names) if names else [str(i) for i in range(self.config.nc)]
+        self.pt = True  # reference detect.py:126 checks model.pt
+        self._executables: Dict[Tuple, Any] = {}
+
+    # -- core jitted pipeline ---------------------------------------------------
+
+    def _pipeline(self, in_shape: Tuple[int, int], out_shape: Tuple[int, int],
+                  multi_label: bool, agnostic: bool):
+        """Build the single-launch uint8-frame -> detections executable."""
+        key = (in_shape, out_shape, multi_label, agnostic)
+        if key in self._executables:
+            return self._executables[key]
+
+        anchors = jnp.asarray(self.config.anchors)
+        module, variables = self.module, self.variables
+        conf, iou, max_det = self.conf_thres, self.iou_thres, self.max_det
+
+        @jax.jit
+        def run(frames):  # (B, H0, W0, 3) uint8 RGB
+            from .ops.letterbox import letterbox_batch_jax
+
+            x = letterbox_batch_jax(frames, out_shape) / 255.0
+            x = x.astype(module.dtype)
+            outs = module.apply(variables, x, train=False)
+            dec = decode_predictions(outs, anchors, out_shape)
+            det, n = jax.vmap(
+                partial(
+                    _nms_single_impl,
+                    conf_thres=conf, iou_thres=iou, multi_label=multi_label,
+                    agnostic=agnostic, max_det=max_det,
+                    max_nms=4096,
+                )
+            )(dec)
+            return det, n
+
+        self._executables[key] = run
+        return run
+
+    def warmup(self, imgsz: Tuple[int, int, int, int] = (1, 3, 640, 640)):
+        """Compile the pipeline for the given shape (reference model.warmup,
+        detect.py:126)."""
+        b, _, h, w = imgsz
+        frames = jnp.zeros((b, h, w, 3), jnp.uint8)
+        run = self._pipeline((h, w), (self.img_size, self.img_size), False, False)
+        jax.block_until_ready(run(frames))
+
+    def __call__(self, source, size: Optional[int] = None, multi_label: bool = False,
+                 agnostic: bool = False) -> Results:
+        """Run detection on image path(s) / numpy array(s) (HWC BGR like cv2)."""
+        import time
+
+        imgs, paths = self._load_sources(source)
+        out_size = check_img_size(size or self.img_size, self.stride)
+
+        t0 = time.perf_counter()
+        # group by identical input shape so each group is one batched launch
+        groups: Dict[Tuple[int, int], List[int]] = {}
+        for i, im in enumerate(imgs):
+            groups.setdefault(im.shape[:2], []).append(i)
+
+        detections: List[Optional[np.ndarray]] = [None] * len(imgs)
+        t_infer = 0.0
+        for shape, idxs in groups.items():
+            batch = np.stack([imgs[i][:, :, ::-1] for i in idxs])  # BGR->RGB
+            run = self._pipeline(shape, (out_size, out_size), multi_label, agnostic)
+            t1 = time.perf_counter()
+            det, n = run(jnp.asarray(batch))
+            det, n = np.asarray(det), np.asarray(n)
+            t_infer += time.perf_counter() - t1
+            gain, dw, dh = letterbox_params(shape, (out_size, out_size))
+            for k, i in enumerate(idxs):
+                d = det[k, : n[k]].copy()
+                if len(d):
+                    d[:, [0, 2]] = np.clip((d[:, [0, 2]] - dw) / gain, 0, shape[1])
+                    d[:, [1, 3]] = np.clip((d[:, [1, 3]] - dh) / gain, 0, shape[0])
+                detections[i] = d
+        total = time.perf_counter() - t0
+        times = {
+            "inference_ms": t_infer / max(len(imgs), 1) * 1000,
+            "total_ms": total / max(len(imgs), 1) * 1000,
+        }
+        return Results(detections, imgs, paths, self.names, times)
+
+    def _load_sources(self, source) -> Tuple[List[np.ndarray], List[str]]:
+        items = source if isinstance(source, (list, tuple)) else [source]
+        imgs, paths = [], []
+        for it in items:
+            if isinstance(it, np.ndarray):
+                imgs.append(it)
+                paths.append(f"array{len(paths)}.jpg")
+            else:
+                import cv2
+
+                im = cv2.imread(str(it))
+                if im is None:
+                    raise FileNotFoundError(f"image not found: {it}")
+                imgs.append(im)
+                paths.append(str(it))
+        return imgs, paths
+
+    def model_info(self, img_size: Optional[int] = None):
+        from .utils.profiling import model_info
+
+        return model_info(self.module, self.variables, img_size or self.img_size)
+
+    # functional access for advanced users
+    def apply(self, x, train: bool = False):
+        return self.module.apply(self.variables, x, train=train)

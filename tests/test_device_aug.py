@@ -1,0 +1,109 @@
+"""On-device augmentation tests: HSV round-trip, mosaic geometry, label transport."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from skyeye_tpu.data.device_aug import (
+    augment_batch_device,
+    flip_batch,
+    hsv_jitter_batch,
+    hsv_to_rgb,
+    mosaic_affine_batch,
+    rgb_to_hsv,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_hsv_roundtrip():
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32))
+    back = hsv_to_rgb(rgb_to_hsv(rgb))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(rgb), atol=1e-5)
+
+
+def test_hsv_jitter_zero_gain_identity():
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.uniform(0, 1, (2, 8, 8, 3)).astype(np.float32))
+    out = hsv_jitter_batch(img, KEY, hgain=0.0, sgain=0.0, vgain=0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_hsv_jitter_changes_image():
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.uniform(0.2, 0.8, (1, 8, 8, 3)).astype(np.float32))
+    out = hsv_jitter_batch(img, KEY, hgain=0.1, sgain=0.7, vgain=0.4)
+    assert not np.allclose(np.asarray(out), np.asarray(img), atol=1e-3)
+    assert np.asarray(out).min() >= 0 and np.asarray(out).max() <= 1
+
+
+def test_flip_batch_geometry():
+    B, s, M = 4, 8, 2
+    img = jnp.asarray(np.arange(B * s * s * 3, dtype=np.float32).reshape(B, s, s, 3))
+    t = jnp.zeros((B, M, 6)).at[:, :, 2].set(0.25).at[:, :, 3].set(0.4)
+    out, t2 = flip_batch(img, t, KEY, p_lr=1.0, p_ud=0.0)
+    np.testing.assert_allclose(np.asarray(t2[..., 2]), 0.75, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t2[..., 3]), 0.4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out[:, :, 0]), np.asarray(img[:, :, -1]))
+
+
+def test_mosaic_no_warp_quadrants():
+    """With identity affine (degrees=translate=scale=shear=0), the output equals the
+    canvas region [s/2..3s/2] around the mosaic center — every pixel comes from one
+    of the 4 source images or pad."""
+    B, s = 4, 32
+    # distinct constant images
+    vals = np.array([0.2, 0.4, 0.6, 0.8], np.float32)
+    images = jnp.asarray(np.broadcast_to(vals[:, None, None, None], (B, s, s, 3)).copy())
+    targets = jnp.zeros((B, 2, 6)).at[:, 0].set(
+        jnp.array([0, 1.0, 0.5, 0.5, 0.5, 0.5])
+    )
+    mask = jnp.zeros((B, 2), bool).at[:, 0].set(True)
+    hyp = {"degrees": 0.0, "translate": 0.0, "scale": 0.0, "shear": 0.0}
+    out, t, m = mosaic_affine_batch(images, targets, mask, KEY, hyp)
+    out = np.asarray(out)
+    assert out.shape == (B, s, s, 3)
+    # every output pixel is one of the 4 source constants or the pad value
+    uniq = np.unique(np.round(out, 3))
+    allowed = np.concatenate([vals, [114.0 / 255.0]])
+    dist = np.abs(uniq[:, None] - allowed[None, :]).min(1)
+    assert (dist < 2e-3).all(), (uniq, allowed)
+    assert t.shape == (B, 8, 6) and m.shape == (B, 8)
+    # some labels survive
+    assert np.asarray(m).sum() > 0
+    tt = np.asarray(t)[np.asarray(m)]
+    assert np.all(tt[:, 2:] >= 0) and np.all(tt[:, 2:] <= 1 + 1e-5)
+
+
+def test_mosaic_label_center_mapping():
+    """A centered box in the TL source lands where the quadrant math says."""
+    B, s = 4, 64
+    images = jnp.full((B, s, s, 3), 0.5)
+    targets = jnp.zeros((B, 1, 6)).at[0, 0].set(jnp.array([0, 2.0, 0.5, 0.5, 0.4, 0.4]))
+    mask = jnp.zeros((B, 1), bool).at[0, 0].set(True)
+    hyp = {"degrees": 0.0, "translate": 0.0, "scale": 0.0, "shear": 0.0}
+    out, t, m = mosaic_affine_batch(images, targets, mask, jax.random.PRNGKey(3), hyp)
+    t, m = np.asarray(t), np.asarray(m)
+    kept = t[0][m[0]]
+    assert len(kept) >= 1
+    assert np.all(kept[:, 1] == 2.0)  # class preserved
+
+
+def test_full_pipeline_jit_and_shapes():
+    B, s, M = 8, 64, 10
+    rng = np.random.default_rng(4)
+    images = jnp.asarray(rng.uniform(0, 1, (B, s, s, 3)).astype(np.float32))
+    targets = jnp.zeros((B, M, 6)).at[:, 0].set(
+        jnp.array([0, 1.0, 0.5, 0.5, 0.3, 0.3])
+    )
+    mask = jnp.zeros((B, M), bool).at[:, 0].set(True)
+
+    fn = jax.jit(lambda i, t, m, k: augment_batch_device(i, t, m, k))
+    out, t2, m2 = fn(images, targets, mask, KEY)
+    assert out.shape == (B, s, s, 3)
+    assert t2.shape == (B, 4 * M, 6)
+    assert m2.shape == (B, 4 * M)
+    assert np.isfinite(np.asarray(out)).all()
+    # second call with a different key reuses the compiled program
+    out2, _, _ = fn(images, targets, mask, jax.random.PRNGKey(9))
+    assert not np.allclose(np.asarray(out), np.asarray(out2))

@@ -1,0 +1,181 @@
+"""End-to-end integration: train -> validate -> detect -> export on a synthetic
+dataset (SURVEY.md §4 integration seams)."""
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    """Synthetic detection dataset with obvious targets: bright boxes on dark bg."""
+    root = tmp_path_factory.mktemp("e2e")
+    rng = np.random.default_rng(1)
+    for split, n in [("train", 16), ("val", 8)]:
+        img_dir = root / "images" / split
+        lbl_dir = root / "labels" / split
+        img_dir.mkdir(parents=True)
+        lbl_dir.mkdir(parents=True)
+        for i in range(n):
+            img = np.full((256, 256, 3), 30, np.uint8)
+            rows = []
+            for _ in range(2):
+                bw, bh = int(rng.integers(40, 90)), int(rng.integers(40, 90))
+                x1 = int(rng.integers(5, 256 - bw - 5))
+                y1 = int(rng.integers(5, 256 - bh - 5))
+                cls = int(rng.integers(0, 2))
+                color = (250, 60, 60) if cls == 0 else (60, 250, 60)
+                cv2.rectangle(img, (x1, y1), (x1 + bw, y1 + bh), color, -1)
+                rows.append(
+                    f"{cls} {(x1 + bw / 2) / 256:.6f} {(y1 + bh / 2) / 256:.6f} "
+                    f"{bw / 256:.6f} {bh / 256:.6f}"
+                )
+            cv2.imwrite(str(img_dir / f"{split}{i:03d}.jpg"), img)
+            (lbl_dir / f"{split}{i:03d}.txt").write_text("\n".join(rows))
+    data_yaml = root / "data.yaml"
+    data_yaml.write_text(yaml.safe_dump({
+        "path": str(root),
+        "train": "images/train",
+        "val": "images/val",
+        "nc": 2,
+        "names": ["red", "green"],
+    }))
+    return root
+
+
+@pytest.fixture(scope="module")
+def trained(synth_root, tmp_path_factory):
+    """Train a tiny model briefly; loss must decrease."""
+    from skyeye_tpu.cli.train import train
+    from skyeye_tpu.config import ModelConfig
+
+    run_dir = tmp_path_factory.mktemp("runs")
+    cfg = ModelConfig(nc=2, base_channels=16, depth_multiple=0.33, width_multiple=0.25)
+    results, save_dir = train(
+        cfg=cfg,
+        data=str(synth_root / "data.yaml"),
+        epochs=3,
+        batch_size=8,
+        img_size=128,
+        project=str(run_dir),
+        name="exp",
+        workers=2,
+        patience=100,
+        noval=False,
+        max_labels=32,
+    )
+    return save_dir
+
+
+def test_training_learns(trained):
+    import csv
+
+    rows = list(csv.reader(open(trained / "results.csv")))
+    assert len(rows) >= 3  # header + >=2 epochs
+    box0 = float(rows[1][1])
+    box_last = float(rows[-1][1])
+    obj0 = float(rows[1][2])
+    obj_last = float(rows[-1][2])
+    assert box_last < box0 or obj_last < obj0, (rows[1], rows[-1])
+    assert (trained / "weights" / "last").exists()
+    assert (trained / "weights" / "best").exists()
+
+
+def test_validate_standalone(trained, synth_root, tmp_path):
+    from skyeye_tpu.cli.validate import validate
+
+    results, maps, times = validate(
+        data=str(synth_root / "data.yaml"),
+        weights=str(trained / "weights" / "last"),
+        batch_size=4,
+        img_size=128,
+        project=str(tmp_path),
+        name="val",
+        plots=False,
+    )
+    mp, mr, map50, map_ = results[:4]
+    assert 0 <= map50 <= 1 and 0 <= map_ <= 1
+    assert np.isfinite([mp, mr, map50, map_]).all()
+
+
+def test_validate_perfect_predictions(synth_root, tmp_path):
+    """Feeding GT boxes as predictions through the metric path -> mAP 1.0."""
+    from skyeye_tpu.utils.metrics import ap_per_class, process_batch
+
+    iouv = np.linspace(0.5, 0.95, 10)
+    stats = []
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        n = rng.integers(1, 5)
+        boxes = []
+        for _ in range(n):
+            x1, y1 = rng.uniform(0, 200, 2)
+            boxes.append([x1, y1, x1 + rng.uniform(20, 50), y1 + rng.uniform(20, 50)])
+        boxes = np.array(boxes, np.float32)
+        cls = rng.integers(0, 2, n).astype(np.float32)
+        det = np.concatenate([boxes, np.full((n, 1), 0.9, np.float32), cls[:, None]], 1)
+        labels = np.concatenate([cls[:, None], boxes], 1)
+        stats.append((process_batch(det, labels, iouv), det[:, 4], det[:, 5], labels[:, 0]))
+    correct = np.concatenate([s[0] for s in stats])
+    conf = np.concatenate([s[1] for s in stats])
+    pc = np.concatenate([s[2] for s in stats])
+    tc = np.concatenate([s[3] for s in stats])
+    _, _, p, r, f1, ap, _ = ap_per_class(correct, conf, pc, tc)
+    assert ap.mean() > 0.99
+
+
+def test_detect_cli(trained, synth_root, tmp_path):
+    from skyeye_tpu.cli.detect import run
+
+    out_dir = run(
+        weights=str(trained / "weights" / "best"),
+        source=str(synth_root / "images" / "val"),
+        imgsz=(128, 128),
+        conf_thres=0.01,
+        project=str(tmp_path),
+        name="det",
+        save_txt=True,
+    )
+    saved = list(Path(out_dir).glob("*.jpg"))
+    assert len(saved) == 8  # one annotated output per val image
+
+
+def test_api_facade(trained, synth_root):
+    from skyeye_tpu import SkyEyeDetector
+
+    det = SkyEyeDetector(weights=str(trained / "weights" / "best"), img_size=128,
+                         conf_thres=0.01)
+    img_path = next((synth_root / "images" / "val").glob("*.jpg"))
+    results = det(str(img_path))
+    assert len(results) == 1
+    dfs = results.pandas()
+    assert list(dfs[0].columns) == [
+        "xmin", "ymin", "xmax", "ymax", "confidence", "class", "name"
+    ]
+    rendered = results.render()
+    assert rendered[0].shape == results.images[0].shape
+
+
+def test_export_stablehlo_and_torch(trained, tmp_path):
+    from skyeye_tpu.cli.export import run as export_run
+
+    outs = export_run(
+        weights=str(trained / "weights" / "best"),
+        formats=["stablehlo", "orbax", "torch"],
+        img_size=128,
+        output=str(tmp_path / "exports"),
+    )
+    assert (tmp_path / "exports" / "model.stablehlo").stat().st_size > 1000
+    assert (tmp_path / "exports" / "orbax_ckpt").exists()
+
+    # torch export round-trips through the forward converter
+    import torch
+
+    from skyeye_tpu.utils.checkpoint import load_torch_checkpoint
+
+    conv = load_torch_checkpoint(tmp_path / "exports" / "model.pt")
+    assert len(conv["params"]) > 0
