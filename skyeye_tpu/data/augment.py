@@ -286,3 +286,47 @@ class AerialAugmentor:
 
 # Reference class name kept as an alias (augmentation.py:15)
 AerialAugmentation = AerialAugmentor
+
+
+class AlbumentationsWrapper:
+    """Optional albumentations bridge (reference augmentation.py:340-439):
+    blur / median-blur / to-gray / CLAHE / brightness-contrast / gamma / compression
+    with YOLO-format bbox params. No-op when albumentations is not installed."""
+
+    def __init__(self, p: float = 1.0):
+        self.transform = None
+        try:
+            import albumentations as A
+
+            self.transform = A.Compose(
+                [
+                    A.Blur(p=0.01),
+                    A.MedianBlur(p=0.01),
+                    A.ToGray(p=0.01),
+                    A.CLAHE(p=0.01),
+                    A.RandomBrightnessContrast(p=0.0),
+                    A.RandomGamma(p=0.0),
+                    A.ImageCompression(quality_lower=75, p=0.0),
+                ],
+                bbox_params=A.BboxParams(format="yolo", label_fields=["class_labels"]),
+                p=p,
+            )
+        except ImportError:
+            pass
+
+    def __call__(self, img: np.ndarray, labels: np.ndarray):
+        """labels: (n, 5) [cls, x, y, w, h] normalized. Returns (img, labels)."""
+        if self.transform is None or not len(labels):
+            return img, labels
+        out = self.transform(
+            image=img, bboxes=labels[:, 1:].tolist(), class_labels=labels[:, 0].tolist()
+        )
+        img = out["image"]
+        if out["bboxes"]:
+            labels = np.array(
+                [[c, *b] for c, b in zip(out["class_labels"], out["bboxes"])],
+                np.float32,
+            )
+        else:
+            labels = np.zeros((0, 5), np.float32)
+        return img, labels

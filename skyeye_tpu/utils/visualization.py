@@ -275,3 +275,26 @@ def plot_mc_curve(px, py, save_path=Path("mc_curve.png"), names: Dict[int, str] 
     ax.legend(loc="lower left", fontsize=7)
     fig.savefig(save_path, dpi=250)
     plt.close(fig)
+
+
+def plot_val_study(file="study.txt", save_dir: Optional[Path] = None):
+    """Speed/accuracy trade-off plot from a study file of rows
+    [P, R, mAP@.5, mAP@.5:.95, pre_ms, inf_ms] per image size
+    (reference import, validate.py:27)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    file = Path(file)
+    save_dir = Path(save_dir or file.parent)
+    data = np.loadtxt(file, ndmin=2).T
+    fig, ax = plt.subplots(1, 1, figsize=(8, 5), tight_layout=True)
+    ax.plot(data[5], data[3] * 100, ".-", linewidth=2, markersize=8)
+    ax.set_xlabel("inference latency (ms/img)")
+    ax.set_ylabel("mAP@0.5:0.95 (%)")
+    ax.grid(alpha=0.2)
+    out = save_dir / "study.png"
+    fig.savefig(out, dpi=250)
+    plt.close(fig)
+    return out
