@@ -29,6 +29,10 @@ def measure_tpu() -> float:
     import jax
     import jax.numpy as jnp
 
+    from skyeye_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from skyeye_tpu.config import ModelConfig
     from skyeye_tpu.models import SkyEyeDetectorModule, decode_predictions
     from skyeye_tpu.ops.nms import _nms_single_impl

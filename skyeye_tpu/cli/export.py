@@ -63,7 +63,7 @@ def _flax_to_torch_key(path: List[str]) -> Optional[str]:
 
     joined = "/".join(path)
     inverse_prefix = {
-        "backbone/stem/conv": "backbone.backbone.stage1.0.conv",
+        "backbone/stem": "backbone.backbone.stage1.0.conv",
         "backbone/down1": "backbone.backbone.stage1.1",
         "backbone/csp1": "backbone.backbone.stage1.2",
         "backbone/down2": "backbone.backbone.stage2.0",
@@ -117,6 +117,10 @@ def export_torch(module, variables, out: Path) -> Path:
             v = np.asarray(leaf)
             if leaf_name == "kernel":
                 if v.ndim == 4:
+                    if names[:-1] == ["backbone", "stem", "conv"]:
+                        from ..models.blocks import unfuse_stem_kernel
+
+                        v = unfuse_stem_kernel(v)  # fused 2kx2k -> reference kxk/4C
                     v = v.transpose(3, 2, 0, 1)  # HWIO -> OIHW
                     sd[f"{tkey}.weight"] = torch.tensor(v)
                 else:

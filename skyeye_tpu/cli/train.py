@@ -74,6 +74,7 @@ def train(
     cache_images: bool = False,
     half: bool = False,
     spatial_shards: int = 1,
+    device_aug: bool = False,
 ):
     from ..data.dataset import create_dataloader
     from ..parallel import create_mesh, shard_batch
@@ -124,11 +125,12 @@ def train(
             variables = {"params": params, "batch_stats": stats}
             LOGGER.info("transferred %d/%d params from %s", n_l, n_t, weights)
 
-    # -- data
+    # -- data: with on-device aug the host loader only letterboxes (augment=False);
+    # mosaic/affine/HSV/flips run inside the jitted train step on the accelerator
     train_loader, train_ds = create_dataloader(
         data_cfg.train, img_size=img_size, batch_size=batch_size, stride=stride,
-        augment=True, hyp=hyp_dict, workers=workers, max_labels=max_labels,
-        cache_images=cache_images, seed=seed,
+        augment=not device_aug, hyp=hyp_dict, workers=workers, max_labels=max_labels,
+        cache_images=cache_images, seed=seed, shuffle=True,
     )
     steps_per_epoch = len(train_loader)
     class_weights = labels_to_class_weights(train_ds.labels, nc)
@@ -169,7 +171,15 @@ def train(
     # -- mesh + sharded step
     n_dev = len(jax.devices())
     mesh = create_mesh(n_spatial=spatial_shards) if n_dev > 1 else None
-    step_fn = jax.jit(make_train_step(module, loss_fn, tx))
+    aug_fn = None
+    if device_aug:
+        from functools import partial as _partial
+
+        from ..data.device_aug import augment_batch_device
+
+        aug_fn = _partial(augment_batch_device, hyp=hyp_dict,
+                          use_mosaic=hyp_dict.get("mosaic", 1.0) > 0)
+    step_fn = jax.jit(make_train_step(module, loss_fn, tx, device_augment=aug_fn))
     stopper = EarlyStopping(patience=patience)
     results_file = save_dir / "results.csv"
     if not results_file.exists():
@@ -191,6 +201,10 @@ def train(
             }
             if mesh is not None:
                 dev_batch = shard_batch(mesh, dev_batch)
+            if aug_fn is not None:
+                dev_batch["aug_key"] = jax.random.PRNGKey(
+                    seed * 1_000_003 + int(state.step)
+                )
             state, metrics = step_fn(state, dev_batch)
             mloss += np.array([float(metrics["box"]), float(metrics["obj"]),
                                float(metrics["cls"])])
@@ -224,13 +238,14 @@ def train(
             "batch_stats": state.batch_stats,
             "ema_params": state.ema.params,
             "ema_updates": int(state.ema.updates),
-            "opt_state": None,  # stripped by default; resume restores params+EMA
+            # full optimizer state in last/ for exact resume (reference keeps the
+            # optimizer in last.pt and strips it from final weights, train.py:139-157)
+            "opt_state": state.opt_state,
             "step": int(state.step),
             "epoch": epoch,
             "best_fitness": best_fit,
             "config": config.to_dict(),
         }
-        payload.pop("opt_state")
         save_checkpoint(wdir / "last", payload)
         if fit >= best_fit:
             save_checkpoint(wdir / "best", payload)
@@ -277,6 +292,9 @@ def parse_opt():
     p.add_argument("--half", action="store_true", help="bfloat16 activations")
     p.add_argument("--spatial-shards", type=int, default=1,
                    help="shard image rows over this many mesh devices (GSPMD halo)")
+    p.add_argument("--device-aug", action="store_true",
+                   help="run mosaic/HSV/affine augmentation on-device inside the "
+                        "jitted train step instead of in host workers")
     p.add_argument("--max-labels", type=int, default=300)
     return p.parse_args()
 

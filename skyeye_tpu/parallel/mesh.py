@@ -70,6 +70,23 @@ def shard_batch(mesh: Mesh, batch, spatial: bool = False):
     return jax.tree_util.tree_map(place, batch)
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host initialization (replaces torch.distributed.init_process_group,
+    SURVEY.md §2.6/§5.8). No-op for single-process runs; on multi-host TPU pods the
+    runtime usually autodetects all arguments."""
+    import jax
+
+    if num_processes in (None, 1) and coordinator_address is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def is_main_process() -> bool:
     """Rank-0 gate (replaces reference's RANK env checks, general.py:33-36)."""
     return jax.process_index() == 0

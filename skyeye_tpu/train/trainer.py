@@ -48,6 +48,7 @@ def make_train_step(
     loss_fn,
     tx: optax.GradientTransformation,
     ema_decay: float = 0.9999,
+    device_augment: Optional[Callable] = None,
 ) -> Callable:
     """Build the jittable train step.
 
@@ -55,10 +56,20 @@ def make_train_step(
     Batch: dict(images=(B,H,W,C) float, targets=(B,M,6), mask=(B,M) bool) where
     targets are per-image [_, cls, x, y, w, h]; the image index column is filled here
     from the row position so host code never needs global indices.
+
+    device_augment(images, targets, mask, key) runs INSIDE the jitted step (on-device
+    mosaic/HSV/affine, data/device_aug.py); the batch then must carry an "aug_key"
+    PRNG key.
     """
 
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         images = batch["images"]
+        targets_in, mask_in = batch["targets"], batch["mask"]
+        if device_augment is not None:
+            images, targets_in, mask_in = device_augment(
+                images, targets_in, mask_in, batch["aug_key"]
+            )
+        batch = {"images": images, "targets": targets_in, "mask": mask_in}
         B, M = batch["targets"].shape[0], batch["targets"].shape[1]
         img_idx = jnp.broadcast_to(
             jnp.arange(B, dtype=jnp.float32)[:, None], (B, M)

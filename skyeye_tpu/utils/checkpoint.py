@@ -97,7 +97,9 @@ def strip_checkpoint(path, half: bool = False) -> None:
 
 # Prefix rules: reference module path -> flax path segments.
 _PREFIX_RULES = [
-    (r"^backbone\.backbone\.stage1\.0\.conv\.", "backbone/stem/conv/"),
+    # the fused stem: flax FocusBlock holds conv/bn directly (models/blocks.py);
+    # the conv kernel additionally goes through fused_stem_kernel (post-pass below)
+    (r"^backbone\.backbone\.stage1\.0\.conv\.", "backbone/stem/"),
     (r"^backbone\.backbone\.stage1\.1\.", "backbone/down1/"),
     (r"^backbone\.backbone\.stage1\.2\.", "backbone/csp1/"),
     (r"^backbone\.backbone\.stage2\.0\.", "backbone/down2/"),
@@ -215,6 +217,17 @@ def convert_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Dict]:
         node[path[-1]] = _convert_leaf(v, kind)
     if unmatched:
         LOGGER.info("torch conversion: %d keys unmatched (e.g. %s)", len(unmatched), unmatched[:3])
+
+    # post-pass: the Focus stem is a fused 2k x 2k stride-2 conv here; rearrange the
+    # reference's k x k-over-s2d kernel into the exactly-equivalent fused form
+    try:
+        stem = out["params"]["backbone"]["stem"]["conv"]
+        if "kernel" in stem and stem["kernel"].shape[2] % 4 == 0:
+            from ..models.blocks import fused_stem_kernel
+
+            stem["kernel"] = fused_stem_kernel(stem["kernel"])
+    except KeyError:
+        pass
     return out
 
 

@@ -108,8 +108,9 @@ def test_load_torch_pt_file(tmp_path):
     }
     torch.save(sd, tmp_path / "skyeye_s.pt")
     module, variables, config = load_model(tmp_path / "skyeye_s.pt")
-    scale = np.asarray(variables["params"]["backbone"]["stem"]["conv"]["bn"]["scale"])
+    scale = np.asarray(variables["params"]["backbone"]["stem"]["bn"]["scale"])
     np.testing.assert_allclose(scale, 2.0)
-    kern = np.asarray(variables["params"]["backbone"]["stem"]["conv"]["conv"]["kernel"])
-    assert kern.shape == (3, 3, 12, 32)
+    # the stem kernel arrives fused to the 6x6 stride-2 form (models/blocks.py)
+    kern = np.asarray(variables["params"]["backbone"]["stem"]["conv"]["kernel"])
+    assert kern.shape == (6, 6, 3, 32)
     np.testing.assert_allclose(kern, 0.0)

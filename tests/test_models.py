@@ -175,3 +175,40 @@ def test_batchnorm_train_mode_updates_stats():
     before = variables["batch_stats"]["bn"]["mean"]
     after = updates["batch_stats"]["bn"]["mean"]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_fused_focus_equals_s2d_conv():
+    """The fused 2kx2k stride-2 stem is numerically identical to
+    space-to-depth + kxk conv with mapped weights."""
+    import flax.linen as nn
+    from skyeye_tpu.models.blocks import FocusBlock, fused_stem_kernel, unfuse_stem_kernel
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 16, 3)).astype(np.float32))
+    k3 = rng.normal(0, 0.2, (3, 3, 12, 8)).astype(np.float32)
+
+    # manual s2d + conv3x3 (reference formulation)
+    from skyeye_tpu.models.blocks import space_to_depth_2x2
+
+    ref = jax.lax.conv_general_dilated(
+        space_to_depth_2x2(x), jnp.asarray(k3), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+    # fused formulation through FocusBlock with the converted kernel
+    m = FocusBlock(out_channels=8, kernel_size=3)
+    variables = m.init(KEY, x, train=False)
+    k6 = fused_stem_kernel(k3)
+    assert k6.shape == (6, 6, 3, 8)
+    variables = jax.tree_util.tree_map(lambda v: v, variables)
+    params = dict(variables["params"])
+    params["conv"] = {"kernel": jnp.asarray(k6)}
+    # bypass BN/SiLU: compare raw conv outputs
+    fused = jax.lax.conv_general_dilated(
+        x, jnp.asarray(k6), (2, 2), ((2, 2), (2, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+    # inverse round-trip
+    np.testing.assert_array_equal(unfuse_stem_kernel(k6), k3)

@@ -157,3 +157,28 @@ def test_early_stopping_and_fitness():
     assert es(3, 0.4)  # 3 epochs without improvement
     f = fitness({"map50": 1.0, "map": 0.0})
     assert abs(f - 0.1) < 1e-9
+
+
+def test_train_step_with_device_augmentation():
+    """Training step with on-device mosaic/HSV/flip augmentation inside jit."""
+    from functools import partial
+
+    from skyeye_tpu.data.device_aug import augment_batch_device
+
+    cfg, module, variables = tiny_model()
+    loss_fn = ComputeLoss(jnp.asarray(cfg.anchors), cfg.nc)
+    tx = build_optimizer(lambda s: 0.05, DEFAULT_HYP, variables["params"],
+                         batch_size=64)
+    state = create_train_state(variables, tx)
+    aug = partial(augment_batch_device, hyp={"degrees": 5.0, "scale": 0.3})
+    step = jax.jit(make_train_step(module, loss_fn, tx, device_augment=aug))
+
+    batch = make_batch(B=4)
+    batch["aug_key"] = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(5):
+        batch["aug_key"] = jax.random.PRNGKey(i)
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert int(state.step) == 5
