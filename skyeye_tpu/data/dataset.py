@@ -436,21 +436,64 @@ class BatchLoader:
         self.rng = np.random.default_rng(seed)
         self.bgr_to_rgb = bgr_to_rgb
         self.epoch = 0
+        # C++ decode+letterbox fast path applies to the plain eval pipeline only:
+        # jpeg/png files, no augmentation, square letterbox, RGB output
+        self._use_native = False
+        if not dataset.augment and not dataset.rect and bgr_to_rgb:
+            try:
+                from .native import native_available
+
+                exts_ok = all(
+                    f.rsplit(".", 1)[-1].lower() in ("jpg", "jpeg", "png")
+                    for f in dataset.img_files
+                )
+                self._use_native = exts_ok and native_available()
+            except Exception:
+                pass
 
     def __len__(self) -> int:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else math.ceil(n / self.batch_size)
 
-    def _assemble(self, idxs: Sequence[int]) -> Dict[str, np.ndarray]:
-        imgs, tgts, masks, shapes0 = [], [], [], []
-        for i in idxs:
-            img, labels = self.dataset[i]
-            if self.bgr_to_rgb:
-                img = img[:, :, ::-1]
-            t, m = self.dataset.padded_labels(labels)
-            imgs.append(np.ascontiguousarray(img))
+    def _native_assemble(self, idxs: Sequence[int]):
+        """C++ fast path: batch decode+letterbox straight into one buffer
+        (val/detect pipelines: no augmentation, square letterbox)."""
+        from .native import prep_batch
+
+        ds = self.dataset
+        paths = [ds.img_files[i] for i in idxs]
+        s = ds.img_size
+        batch, meta, n_ok = prep_batch(paths, s, s, n_threads=max(self.workers, 2))
+        imgs, tgts, masks = [], [], []
+        for k, i in enumerate(idxs):
+            labels = ds.labels[i].copy()
+            gain, dw, dh = meta[k]
+            w0, h0 = ds.shapes[i]  # (w, h) native
+            if len(labels) and gain > 0:
+                # normalized-in-original -> normalized-in-letterboxed
+                labels[:, 1] = (labels[:, 1] * w0 * gain + dw) / s
+                labels[:, 2] = (labels[:, 2] * h0 * gain + dh) / s
+                labels[:, 3] = labels[:, 3] * w0 * gain / s
+                labels[:, 4] = labels[:, 4] * h0 * gain / s
+            t, m = ds.padded_labels(labels)
+            imgs.append(batch[k])
             tgts.append(t)
             masks.append(m)
+        return imgs, tgts, masks
+
+    def _assemble(self, idxs: Sequence[int]) -> Dict[str, np.ndarray]:
+        if self._use_native:
+            imgs, tgts, masks = self._native_assemble(idxs)
+        else:
+            imgs, tgts, masks = [], [], []
+            for i in idxs:
+                img, labels = self.dataset[i]
+                if self.bgr_to_rgb:
+                    img = img[:, :, ::-1]
+                t, m = self.dataset.padded_labels(labels)
+                imgs.append(np.ascontiguousarray(img))
+                tgts.append(t)
+                masks.append(m)
         # pad the last partial batch to full size (fixed shapes for jit)
         n_valid = len(imgs)
         while len(imgs) < self.batch_size:
