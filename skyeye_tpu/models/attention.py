@@ -172,10 +172,17 @@ class CrossLayerAttention(nn.Module):
 
 
 class MultiHeadSelfAttention(nn.Module):
-    """Plain MHSA over a (B, N, C) token sequence (one fused qkv GEMM)."""
+    """MHSA over a (B, N, C) token sequence (one fused qkv GEMM).
+
+    When `use_flash` and the token count tiles cleanly (N % 128 == 0, no mask/bias),
+    the attention core runs as the fused Pallas flash kernel
+    (ops/pallas/attention_kernel.py) — scores never leave VMEM. Otherwise the plain
+    einsum path runs (XLA), which is optimal for the small windowed cases.
+    """
 
     num_heads: int
     dtype: Any = jnp.float32
+    use_flash: bool = True
 
     @nn.compact
     def __call__(self, x, mask=None, bias=None):
@@ -184,13 +191,35 @@ class MultiHeadSelfAttention(nn.Module):
         qkv = nn.Dense(3 * C, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        logits = jnp.einsum("bqhc,bkhc->bhqk", q, k) * (hd**-0.5)
-        if bias is not None:
-            logits = logits + bias
-        if mask is not None:
-            logits = logits + mask
-        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
-        out = jnp.einsum("bhqk,bkhc->bqhc", attn, v).reshape(B, N, C)
+
+        flash_ok = (
+            self.use_flash
+            and mask is None
+            and bias is None
+            and N % 128 == 0
+            and hd % 128 == 0
+            and jax.devices()[0].platform in ("tpu", "axon")
+        )
+        if flash_ok:
+            from ..ops.pallas.attention_kernel import flash_attention
+
+            qf = q.transpose(0, 2, 1, 3).reshape(B * self.num_heads, N, hd)
+            kf = k.transpose(0, 2, 1, 3).reshape(B * self.num_heads, N, hd)
+            vf = v.transpose(0, 2, 1, 3).reshape(B * self.num_heads, N, hd)
+            of = flash_attention(qf.astype(jnp.float32), kf.astype(jnp.float32),
+                                 vf.astype(jnp.float32))
+            out = of.reshape(B, self.num_heads, N, hd).transpose(0, 2, 1, 3)
+            out = out.reshape(B, N, C).astype(self.dtype)
+        else:
+            logits = jnp.einsum("bqhc,bkhc->bhqk", q, k) * (hd**-0.5)
+            if bias is not None:
+                logits = logits + bias
+            if mask is not None:
+                logits = logits + mask
+            attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+                logits.dtype
+            )
+            out = jnp.einsum("bhqk,bkhc->bqhc", attn, v).reshape(B, N, C)
         return nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
 
 
