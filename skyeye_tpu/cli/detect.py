@@ -120,38 +120,36 @@ def run(
                     max_nms=4096, class_mask=class_mask_dev)
         )(dec)
 
-    seen, dt = 0, [0.0, 0.0, 0.0]
-    for path, im, im0s, vid_cap, s in dataset:
-        t0 = time.perf_counter()
-        # im: letterboxed RGB HWC (single source) or (B, H, W, 3) for streams
-        batch = im if im.ndim == 4 else im[None]
-        x = jnp.asarray(batch)
-        t1 = time.perf_counter()
+    # Double-buffered pipeline (BASELINE config #3 throughput mode): keep up to
+    # `pipeline_depth` batches in flight so host decode/annotate overlaps device
+    # compute and the per-launch dispatch overhead amortizes. Depth 1 for imshow
+    # interactivity, 3 for offline image/video/stream processing.
+    from collections import deque
 
-        det_batch, n_batch = infer(x, x.shape[1], x.shape[2])
-        det_batch, n_batch = np.asarray(det_batch), np.asarray(n_batch)
-        t2 = time.perf_counter()
+    from ..ops.boxes import scale_boxes
 
+    pipeline_depth = 1 if view_img else 3
+    inflight: "deque" = deque()
+    seen, dt = 0, [0.0, 0.0]
+
+    def process(path, im0s, vid_cap, s, frame_no, in_shape, det_batch, n_batch,
+                infer_ms):
+        nonlocal seen
         for i in range(det_batch.shape[0]):
             seen += 1
             if webcam:
                 p, im0 = Path(path[i]), im0s[i].copy()
-                frame = dataset.count
             else:
                 p, im0 = Path(path), im0s.copy()
-                frame = getattr(dataset, "frame", 0)
             save_path = str(save_dir / p.name)
             txt_path = str(save_dir / "labels" / p.stem) + (
-                "" if dataset.mode == "image" else f"_{frame}"
+                "" if dataset.mode == "image" else f"_{frame_no}"
             )
 
             det = det_batch[i, : n_batch[i]].copy()
-            # rescale boxes from letterboxed space to original frame
             if len(det):
-                from ..ops.boxes import scale_boxes
-
                 det[:, :4] = np.asarray(
-                    scale_boxes(batch.shape[1:3], jnp.asarray(det[:, :4]), im0.shape[:2])
+                    scale_boxes(in_shape, jnp.asarray(det[:, :4]), im0.shape[:2])
                 )
 
             label_str = ""
@@ -210,9 +208,35 @@ def run(
                     vid_writer[i].write(im0)
 
             LOGGER.info("%s%s%.1fms", s if isinstance(s, str) else "",
-                        label_str or "(no detections), ", (t2 - t1) * 1000)
+                        label_str or "(no detections), ", infer_ms)
+
+    def drain_one():
+        path, im0s, vid_cap, s, frame_no, in_shape, handles, t_disp = inflight.popleft()
+        det_batch = np.asarray(handles[0])  # sync point
+        n_batch = np.asarray(handles[1])
+        t2 = time.perf_counter()
+        dt[1] += t2 - t_disp
+        process(path, im0s, vid_cap, s, frame_no, in_shape, det_batch, n_batch,
+                (t2 - t_disp) * 1000)
+
+    for path, im, im0s, vid_cap, s in dataset:
+        t0 = time.perf_counter()
+        # im: letterboxed RGB HWC (single source) or (B, H, W, 3) for streams
+        batch = im if im.ndim == 4 else im[None]
+        x = jnp.asarray(batch)
+        t1 = time.perf_counter()
         dt[0] += t1 - t0
-        dt[1] += t2 - t1
+
+        handles = infer(x, x.shape[1], x.shape[2])  # async dispatch
+        frame_no = dataset.count if webcam else getattr(dataset, "frame", 0)
+        im0_copy = [f.copy() for f in im0s] if webcam else im0s.copy()
+        inflight.append(
+            (path, im0_copy, vid_cap, s, frame_no, batch.shape[1:3], handles, t1)
+        )
+        if len(inflight) >= pipeline_depth:
+            drain_one()
+    while inflight:
+        drain_one()
 
     for w in vid_writer:
         if isinstance(w, cv2.VideoWriter):
