@@ -75,6 +75,7 @@ def train(
     half: bool = False,
     spatial_shards: int = 1,
     device_aug: bool = False,
+    accumulate: int = 0,
 ):
     from ..data.dataset import create_dataloader
     from ..parallel import create_mesh, shard_batch
@@ -137,10 +138,14 @@ def train(
     LOGGER.info("train: %d images, %d steps/epoch", len(train_ds), steps_per_epoch)
 
     # -- optimizer + schedules (train.py:94-133)
-    accumulate = accumulation_steps(batch_size)
+    accumulate = accumulate or accumulation_steps(batch_size)
     lr_sched = make_lr_schedule(hyp_dict, epochs, steps_per_epoch, cos_lr=not linear_lr)
+    warmup_steps = max(
+        int(round(hyp_dict.get("warmup_epochs", 3.0) * steps_per_epoch)), 100
+    )
     tx = build_optimizer(lr_sched, hyp_dict, variables["params"], adam=adam,
-                         batch_size=batch_size, accumulate=accumulate)
+                         batch_size=batch_size, accumulate=accumulate,
+                         warmup_steps=warmup_steps)
 
     loss_fn = ComputeLoss(jnp.asarray(config.anchors), nc, hyp=hyp_dict)
     state = create_train_state(variables, tx)
@@ -292,6 +297,8 @@ def parse_opt():
     p.add_argument("--half", action="store_true", help="bfloat16 activations")
     p.add_argument("--spatial-shards", type=int, default=1,
                    help="shard image rows over this many mesh devices (GSPMD halo)")
+    p.add_argument("--accumulate", type=int, default=0,
+                   help="gradient accumulation steps (0 = auto to nominal batch 64)")
     p.add_argument("--device-aug", action="store_true",
                    help="run mosaic/HSV/affine augmentation on-device inside the "
                         "jitted train step instead of in host workers")

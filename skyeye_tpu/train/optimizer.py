@@ -35,6 +35,17 @@ def accumulation_steps(batch_size: int, nominal: int = NOMINAL_BATCH) -> int:
     return max(round(nominal / batch_size), 1)
 
 
+def bias_labels(params) -> Any:
+    """Partition labels: 'bias' for every bias leaf, 'other' for the rest
+    (the reference's pg2 group, train.py:102-120)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: "bias"
+        if getattr(path[-1], "key", str(path[-1])) == "bias"
+        else "other",
+        params,
+    )
+
+
 def build_optimizer(
     lr_schedule: Callable,
     hyp: Dict[str, float],
@@ -42,23 +53,60 @@ def build_optimizer(
     adam: bool = False,
     batch_size: int = 16,
     accumulate: Optional[int] = None,
+    warmup_steps: int = 0,
 ) -> optax.GradientTransformation:
+    """SGD-nesterov/Adam with YOLOv5 group semantics.
+
+    With warmup_steps > 0 the YOLOv5 warmup applies: momentum ramps
+    warmup_momentum -> momentum and the bias group's lr starts at warmup_bias_lr and
+    anneals INTO the main schedule (reference-convention warmup, reconstructed from
+    the truncated train.py; SURVEY.md C1).
+    """
     accum = accumulate if accumulate is not None else accumulation_steps(batch_size)
     # weight-decay rescale to the effective (accumulated) batch (train.py:96)
     wd = hyp["weight_decay"] * batch_size * accum / NOMINAL_BATCH
 
+    import jax.numpy as jnp
+
+    def momentum_schedule(step):
+        if warmup_steps <= 0:
+            return hyp["momentum"]
+        w = jnp.clip(step / warmup_steps, 0.0, 1.0)
+        return hyp["warmup_momentum"] + w * (hyp["momentum"] - hyp["warmup_momentum"])
+
+    def bias_lr_schedule(step):
+        if warmup_steps <= 0:
+            return lr_schedule(step)
+        w = jnp.clip(step / warmup_steps, 0.0, 1.0)
+        warm = hyp["warmup_bias_lr"] + w * (hyp["lr0"] - hyp["warmup_bias_lr"])
+        return jnp.where(step < warmup_steps, warm, lr_schedule(step))
+
     if adam:
-        inner = optax.chain(
-            optax.add_decayed_weights(wd, mask=decay_mask),
-            optax.scale_by_adam(b1=hyp["momentum"], b2=0.999),
-            optax.scale_by_learning_rate(lr_schedule),
+        momentum_core = optax.scale_by_adam(b1=hyp["momentum"], b2=0.999)
+
+        def make_chain(lr):
+            return optax.chain(
+                optax.add_decayed_weights(wd, mask=decay_mask),
+                momentum_core,
+                optax.scale_by_learning_rate(lr),
+            )
+    else:
+        def make_chain(lr):
+            return optax.chain(
+                optax.add_decayed_weights(wd, mask=decay_mask),
+                optax.inject_hyperparams(optax.trace, static_args=("nesterov",))(
+                    decay=momentum_schedule, nesterov=True
+                ),
+                optax.scale_by_learning_rate(lr),
+            )
+
+    if warmup_steps > 0:
+        inner = optax.multi_transform(
+            {"bias": make_chain(bias_lr_schedule), "other": make_chain(lr_schedule)},
+            bias_labels,
         )
     else:
-        inner = optax.chain(
-            optax.add_decayed_weights(wd, mask=decay_mask),
-            optax.trace(decay=hyp["momentum"], nesterov=True),
-            optax.scale_by_learning_rate(lr_schedule),
-        )
+        inner = make_chain(lr_schedule)
     if accum > 1:
         return optax.MultiSteps(inner, every_k_schedule=accum)
     return inner

@@ -182,3 +182,18 @@ def test_train_step_with_device_augmentation():
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert int(state.step) == 5
+
+
+def test_optimizer_warmup_groups():
+    """Bias lr warms from warmup_bias_lr down to the schedule; momentum ramps."""
+    cfg, module, variables = tiny_model()
+    loss_fn = ComputeLoss(jnp.asarray(cfg.anchors), cfg.nc)
+    sched = make_lr_schedule(dict(DEFAULT_HYP), epochs=10, steps_per_epoch=10)
+    tx = build_optimizer(sched, DEFAULT_HYP, variables["params"], batch_size=64,
+                         warmup_steps=20)
+    state = create_train_state(variables, tx)
+    step = jax.jit(make_train_step(module, loss_fn, tx))
+    batch = make_batch()
+    for _ in range(3):
+        state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
