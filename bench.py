@@ -43,6 +43,10 @@ def measure_tpu() -> float:
     variables = module.init(
         jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3), jnp.float32), train=False
     )
+    # deployment form: BN folded into conv kernels (same graph, identity BN)
+    from skyeye_tpu.utils.checkpoint import fuse_conv_bn
+
+    variables = fuse_conv_bn(variables)
     anchors = jnp.asarray(cfg.anchors)
 
     @jax.jit

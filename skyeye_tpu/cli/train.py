@@ -193,29 +193,37 @@ def train(
 
     LOGGER.info("starting training for %d epochs (accumulate=%d, devices=%d)",
                 epochs, accumulate, n_dev)
+    from ..data.prefetch import device_prefetch
+
+    def to_host_batch(batch):
+        """Keep images uint8 (4x cheaper H2D); normalize inside the jitted step."""
+        out = {
+            "images": np.ascontiguousarray(batch["images"]),
+            "targets": np.asarray(batch["targets"]),
+            "mask": np.asarray(batch["mask"]),
+        }
+        return shard_batch(mesh, out) if mesh is not None else out
+
     final_results = (0, 0, 0, 0, 0, 0, 0)
+    py_step = int(state.step)
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
-        mloss = np.zeros(3)
+        # device-prefetched batches + deferred metric fetches: the epoch loop never
+        # blocks on the device except once at the end
+        metric_handles = []
         nb = 0
-        for batch in train_loader:
-            dev_batch = {
-                "images": jnp.asarray(batch["images"], jnp.float32) / 255.0,
-                "targets": jnp.asarray(batch["targets"]),
-                "mask": jnp.asarray(batch["mask"]),
-            }
-            if mesh is not None:
-                dev_batch = shard_batch(mesh, dev_batch)
+        for dev_batch in device_prefetch(train_loader, size=2, transform=to_host_batch):
             if aug_fn is not None:
-                dev_batch["aug_key"] = jax.random.PRNGKey(
-                    seed * 1_000_003 + int(state.step)
-                )
+                dev_batch["aug_key"] = jax.random.PRNGKey(seed * 1_000_003 + py_step)
             state, metrics = step_fn(state, dev_batch)
-            mloss += np.array([float(metrics["box"]), float(metrics["obj"]),
-                               float(metrics["cls"])])
+            metric_handles.append(metrics)
+            py_step += 1
             nb += 1
-        mloss /= max(nb, 1)
-        lr_now = float(lr_sched(int(state.step)))
+        mloss = np.mean(
+            [[float(m["box"]), float(m["obj"]), float(m["cls"])] for m in metric_handles],
+            axis=0,
+        ) if metric_handles else np.zeros(3)
+        lr_now = float(lr_sched(py_step))
         LOGGER.info("epoch %d/%d: box %.4f obj %.4f cls %.4f (%.1fs, lr %.5f)",
                     epoch + 1, epochs, *mloss, time.time() - t0, lr_now)
 

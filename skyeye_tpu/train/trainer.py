@@ -64,6 +64,9 @@ def make_train_step(
 
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         images = batch["images"]
+        # accept uint8 frames and normalize on device (4x cheaper H2D transfer)
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
         targets_in, mask_in = batch["targets"], batch["mask"]
         if device_augment is not None:
             images, targets_in, mask_in = device_augment(

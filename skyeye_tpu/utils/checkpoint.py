@@ -56,7 +56,11 @@ def save_checkpoint(path, payload: Dict[str, Any]) -> None:
         if k in _META_KEYS:
             meta[k] = v if not isinstance(v, (np.generic, jnp.ndarray)) else np.asarray(v).item()
         else:
-            arrays[k] = jax.tree_util.tree_map(np.asarray, v)
+            arrays[k] = v
+    # one batched device->host fetch for the whole tree: per-leaf np.asarray would
+    # issue a blocking round-trip per array (~hundreds of leaves x the relay's
+    # per-call latency dominated epoch time)
+    arrays = jax.device_get(arrays)
     _checkpointer().save(path, arrays, force=True)
     (path / "meta.json").write_text(json.dumps(meta, default=float))
 
