@@ -76,6 +76,7 @@ def train(
     spatial_shards: int = 1,
     device_aug: bool = False,
     accumulate: int = 0,
+    autoanchor: bool = False,
 ):
     from ..data.dataset import create_dataloader
     from ..parallel import create_mesh, shard_batch
@@ -135,6 +136,23 @@ def train(
     )
     steps_per_epoch = len(train_loader)
     class_weights = labels_to_class_weights(train_ds.labels, nc)
+
+    if autoanchor:
+        from ..utils.autoanchor import check_anchors, fit_anchors_for_dataset
+        import dataclasses
+
+        whs = [l[:, 3:5] * np.array(s_) * (img_size / max(s_))
+               for l, s_ in zip(train_ds.labels, train_ds.shapes) if len(l)]
+        if whs:
+            wh_px = np.concatenate(whs, 0)
+            bpr = check_anchors(wh_px, config.anchors, config.strides, img_size)
+            if bpr < 0.98:
+                LOGGER.info("refitting anchors (best-possible recall %.3f < 0.98)", bpr)
+                new_anchors = fit_anchors_for_dataset(train_ds, img_size,
+                                                      config.strides)
+                config = dataclasses.replace(config, anchors=new_anchors)
+                module, variables = create_detector(
+                    config, dtype=dtype, rng=jax.random.PRNGKey(seed))
     LOGGER.info("train: %d images, %d steps/epoch", len(train_ds), steps_per_epoch)
 
     # -- optimizer + schedules (train.py:94-133)
@@ -305,6 +323,8 @@ def parse_opt():
     p.add_argument("--half", action="store_true", help="bfloat16 activations")
     p.add_argument("--spatial-shards", type=int, default=1,
                    help="shard image rows over this many mesh devices (GSPMD halo)")
+    p.add_argument("--autoanchor", action="store_true",
+                   help="check and refit anchors to the dataset (kmeans)")
     p.add_argument("--accumulate", type=int, default=0,
                    help="gradient accumulation steps (0 = auto to nominal batch 64)")
     p.add_argument("--device-aug", action="store_true",

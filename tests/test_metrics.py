@@ -95,3 +95,39 @@ def test_box_iou_np():
     b = np.array([[0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]], np.float32)
     iou = box_iou_np(a, b)
     np.testing.assert_allclose(iou[0], [1.0, 25 / 175, 0.0], atol=1e-4)
+
+
+def test_autoanchor_kmeans_recovers_clusters():
+    from skyeye_tpu.utils.autoanchor import anchor_fitness, check_anchors, kmean_anchors
+
+    rng = np.random.default_rng(0)
+    # three clear size clusters
+    wh = np.concatenate([
+        rng.normal([10, 12], 1.0, (200, 2)),
+        rng.normal([40, 30], 3.0, (200, 2)),
+        rng.normal([120, 100], 8.0, (200, 2)),
+    ]).clip(2)
+    k = kmean_anchors(wh, n=3, iterations=100)
+    assert k.shape == (3, 2)
+    areas = np.sort(k.prod(1))
+    assert areas[0] < 300 and areas[2] > 5000  # spans the clusters
+    assert anchor_fitness(wh, k) > 0.7
+
+    bpr = check_anchors(wh, [k / 8], strides=[8])
+    assert bpr > 0.95
+
+
+def test_fit_anchors_for_dataset_shape():
+    from skyeye_tpu.utils.autoanchor import fit_anchors_for_dataset
+
+    class FakeDS:
+        labels = [np.array([[0, .5, .5, w, h]] * 6, np.float32)
+                  for w, h in [(0.02, 0.03), (0.1, 0.08), (0.3, 0.25), (0.05, 0.04),
+                               (0.15, 0.2), (0.4, 0.35)]]
+        shapes = np.array([[640, 480]] * 6, np.float64)
+
+    anchors = fit_anchors_for_dataset(FakeDS(), img_size=640)
+    assert len(anchors) == 3 and len(anchors[0]) == 3
+    # grid-unit anchors positive and finite
+    flat = np.array(anchors).reshape(-1, 2)
+    assert (flat > 0).all() and np.isfinite(flat).all()
