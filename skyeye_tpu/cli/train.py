@@ -77,10 +77,38 @@ def train(
     device_aug: bool = False,
     accumulate: int = 0,
     autoanchor: bool = False,
+    evolve: int = 0,
 ):
     from ..data.dataset import create_dataloader
     from ..parallel import create_mesh, shard_batch
     from .validate import validate
+
+    if evolve:
+        # hyperparameter evolution: short runs, fitness-selected (train.py --evolve)
+        from ..train.evolve import evolve as run_evolve
+
+        base_hyp = load_hyp(hyp)
+        kwargs = dict(
+            cfg=cfg, data=data, epochs=epochs, batch_size=batch_size,
+            img_size=img_size, weights=weights, adam=adam, linear_lr=linear_lr,
+            max_labels=max_labels, workers=workers, project=project,
+            patience=patience, seed=seed, cache_images=cache_images, half=half,
+            spatial_shards=spatial_shards, device_aug=device_aug,
+            accumulate=accumulate,
+        )
+
+        def short_train(cand_hyp):
+            import tempfile
+
+            with tempfile.NamedTemporaryFile("w", suffix=".yaml", delete=False) as f:
+                yaml.safe_dump(cand_hyp, f)
+            res, _ = train(hyp=f.name, name="evolve_gen", exist_ok=True, **kwargs)
+            return 0.1 * res[2] + 0.9 * res[3]
+
+        best = run_evolve(short_train, base_hyp, generations=evolve,
+                          save_dir=Path(project) / "evolve", seed=seed)
+        (Path(project) / "evolve" / "hyp_evolved.yaml").write_text(yaml.safe_dump(best))
+        return None, Path(project) / "evolve"
 
     # -- run dir + config dump (train.py:61-72)
     save_dir = increment_path(Path(project) / name, exist_ok=exist_ok or resume, mkdir=True)
@@ -323,6 +351,8 @@ def parse_opt():
     p.add_argument("--half", action="store_true", help="bfloat16 activations")
     p.add_argument("--spatial-shards", type=int, default=1,
                    help="shard image rows over this many mesh devices (GSPMD halo)")
+    p.add_argument("--evolve", type=int, nargs="?", const=10, default=0,
+                   help="evolve hyperparameters for N generations")
     p.add_argument("--autoanchor", action="store_true",
                    help="check and refit anchors to the dataset (kmeans)")
     p.add_argument("--accumulate", type=int, default=0,

@@ -1,6 +1,10 @@
 """Model components: blocks, attention, backbone, neck, head, detector assembly."""
 from .attention import (
     CBAM,
+    SwinBlock,
+    shift_window_mask,
+    window_partition,
+    window_reverse,
     ChannelAttention,
     CrossLayerAttention,
     SpatialAttention,
@@ -29,6 +33,10 @@ from .neck import FeatureNeck, upsample_nearest_2x
 
 __all__ = [
     "CBAM",
+    "SwinBlock",
+    "shift_window_mask",
+    "window_partition",
+    "window_reverse",
     "ChannelAttention",
     "CrossLayerAttention",
     "SpatialAttention",

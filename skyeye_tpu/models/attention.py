@@ -253,6 +253,77 @@ class TransformerLayer(nn.Module):
         return t.reshape(B, H, W, C)
 
 
+def window_partition(x, window_size: int):
+    """(B, H, W, C) -> (B * nH * nW, ws*ws, C). H, W must be multiples of ws."""
+    B, H, W, C = x.shape
+    ws = window_size
+    x = x.reshape(B, H // ws, ws, W // ws, ws, C)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(-1, ws * ws, C)
+
+
+def window_reverse(windows, window_size: int, H: int, W: int):
+    """Inverse of window_partition: (B*nH*nW, ws*ws, C) -> (B, H, W, C)."""
+    ws = window_size
+    B = windows.shape[0] // ((H // ws) * (W // ws))
+    x = windows.reshape(B, H // ws, W // ws, ws, ws, -1)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(B, H, W, -1)
+
+
+def shift_window_mask(H: int, W: int, window_size: int, shift: int) -> jnp.ndarray:
+    """Swin shifted-window attention mask: (num_windows, ws*ws, ws*ws) additive
+    (-100 for cross-region pairs)."""
+    img_mask = np.zeros((1, H, W, 1), np.float32)
+    cnt = 0
+    slices = (slice(0, -window_size), slice(-window_size, -shift), slice(-shift, None))
+    for h in slices:
+        for w in slices:
+            img_mask[:, h, w, :] = cnt
+            cnt += 1
+    mw = np.asarray(window_partition(jnp.asarray(img_mask), window_size))[:, :, 0]
+    attn_mask = mw[:, None, :] - mw[:, :, None]
+    return jnp.asarray(np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32))
+
+
+class SwinBlock(nn.Module):
+    """Usable windowed-attention block: partition -> (shifted) window attention ->
+    reverse, with pre-norm residual + MLP. Makes the reference's shipped-but-unused
+    WindowedSelfAttention (attention.py:312-399) an actual model component."""
+
+    window_size: int = 8
+    num_heads: int = 4
+    shift: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, C = x.shape
+        ws = self.window_size
+        assert H % ws == 0 and W % ws == 0, (H, W, ws)
+        shift = self.shift % ws
+
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
+        if shift:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+        wins = window_partition(y, ws)
+        mask = shift_window_mask(H, W, ws, shift) if shift else None
+        wins = WindowedSelfAttention(
+            dim=C, window_size=ws, num_heads=self.num_heads, dtype=self.dtype,
+            name="attn",
+        )(wins, mask)
+        y = window_reverse(wins, ws, H, W)
+        if shift:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        x = x + y
+
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
+        y = nn.Dense(C * 4, dtype=self.dtype, param_dtype=jnp.float32, name="mlp1")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32, name="mlp2")(y)
+        return x + y
+
+
 def relative_position_index(window_size: int) -> np.ndarray:
     """Static Swin-style relative position index table (N, N)."""
     coords = np.stack(

@@ -212,3 +212,34 @@ def test_fused_focus_equals_s2d_conv():
 
     # inverse round-trip
     np.testing.assert_array_equal(unfuse_stem_kernel(k6), k3)
+
+
+def test_window_partition_roundtrip():
+    from skyeye_tpu.models import window_partition, window_reverse
+
+    x = jax.random.normal(KEY, (2, 16, 16, 8))
+    wins = window_partition(x, 4)
+    assert wins.shape == (2 * 16, 16, 8)
+    back = window_reverse(wins, 4, 16, 16)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_swin_block_plain_and_shifted():
+    from skyeye_tpu.models import SwinBlock
+
+    x = jax.random.normal(KEY, (2, 16, 16, 32))
+    for shift in (0, 2):
+        m = SwinBlock(window_size=4, num_heads=4, shift=shift)
+        variables = m.init(KEY, x)
+        out = m.apply(variables, x)
+        assert out.shape == x.shape
+        assert np.isfinite(np.asarray(out)).all()
+
+
+def test_shift_window_mask_blocks_cross_region():
+    from skyeye_tpu.models import shift_window_mask
+
+    mask = shift_window_mask(8, 8, 4, 2)
+    assert mask.shape == (4, 16, 16)
+    # some pairs masked, some not
+    assert float(mask.min()) == -100.0 and float(mask.max()) == 0.0

@@ -197,3 +197,27 @@ def test_optimizer_warmup_groups():
     for _ in range(3):
         state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_evolve_mutation_and_loop(tmp_path):
+    from skyeye_tpu.train.evolve import EVOLVE_META, evolve, mutate_hyp
+
+    rng = np.random.default_rng(0)
+    hyp = {k: (lo + hi) / 2 for k, (g, lo, hi) in EVOLVE_META.items()}
+    mutated = mutate_hyp(hyp, rng)
+    assert mutated != hyp
+    for k, v in mutated.items():
+        lo, hi = EVOLVE_META[k][1], EVOLVE_META[k][2]
+        assert lo - 1e-9 <= v <= hi + 1e-9
+
+    # fake objective: prefers high lr0 -> evolution should move lr0 up
+    calls = []
+
+    def fake_train(h):
+        calls.append(h)
+        return h["lr0"]
+
+    best = evolve(fake_train, hyp, generations=12, save_dir=tmp_path, seed=1)
+    assert best["lr0"] >= hyp["lr0"]
+    assert (tmp_path / "evolve.csv").exists()
+    assert len(calls) == 12
