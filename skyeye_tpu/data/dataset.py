@@ -573,3 +573,22 @@ def create_dataloader(
 def load_dataset(path, **kw) -> AerialDataset:
     """Convenience dataset constructor (reference export, core/data/__init__.py:7)."""
     return AerialDataset(path, **kw)
+
+
+class InfiniteBatchLoader(BatchLoader):
+    """Epoch-boundary-free loader: continuously yields batches, reshuffling between
+    passes (reference InfiniteDataLoader/_RepeatSampler worker-reuse semantics,
+    loaders.py:83-124). Use `take(n)` or zip with a step range to bound iteration."""
+
+    def __iter__(self):
+        while True:
+            yield from super().__iter__()
+
+    def take(self, n: int):
+        it = iter(self)
+        for _ in range(n):
+            yield next(it)
+
+
+# Reference-facing alias (loaders.py:83)
+InfiniteDataLoader = InfiniteBatchLoader

@@ -163,3 +163,13 @@ def test_cache_invalidation(synth_dataset):
     finally:
         lbl.write_text(orig)
         AerialDataset(str(synth_dataset), img_size=320)  # restore cache
+
+
+def test_infinite_loader_cycles(synth_dataset):
+    from skyeye_tpu.data import AerialDataset, InfiniteBatchLoader
+
+    ds = AerialDataset(str(synth_dataset), img_size=320, augment=False)
+    loader = InfiniteBatchLoader(ds, batch_size=5, shuffle=True)
+    batches = list(loader.take(7))  # 12 imgs / bs 5 = 3 per epoch -> crosses epochs
+    assert len(batches) == 7
+    assert all(b["images"].shape == (5, 320, 320, 3) for b in batches)
