@@ -10,6 +10,9 @@ __version__ = "0.1.0"
 
 from .api import Results, SkyEyeDetector  # noqa: E402
 from .config import DataConfig, ModelConfig, load_hyp  # noqa: E402
+from .models.detector import construct_model, create_detector, parse_model  # noqa: E402
+from .ops.nms import non_max_suppression  # noqa: E402
+from .utils.checkpoint import load_model  # noqa: E402
 
 __all__ = [
     "Results",
@@ -17,5 +20,10 @@ __all__ = [
     "DataConfig",
     "ModelConfig",
     "load_hyp",
+    "construct_model",
+    "create_detector",
+    "parse_model",
+    "non_max_suppression",
+    "load_model",
     "__version__",
 ]

@@ -78,6 +78,7 @@ def train(
     accumulate: int = 0,
     autoanchor: bool = False,
     evolve: int = 0,
+    debug_nans: bool = False,
 ):
     from ..data.dataset import create_dataloader
     from ..parallel import create_mesh, shard_batch
@@ -120,6 +121,11 @@ def train(
                 if isinstance(v, (int, float, str, bool))}
     (save_dir / "opt.yaml").write_text(yaml.safe_dump(opt_dump))
     print_args(opt_dump)
+
+    if debug_nans:
+        # JAX-native numerical sanitizer: abort with a traceback at the first NaN
+        # (the framework's analogue of torch anomaly detection; SURVEY.md §5.2)
+        jax.config.update("jax_debug_nans", True)
 
     init_seeds(seed)
     data_cfg = check_dataset(data)
@@ -351,6 +357,8 @@ def parse_opt():
     p.add_argument("--half", action="store_true", help="bfloat16 activations")
     p.add_argument("--spatial-shards", type=int, default=1,
                    help="shard image rows over this many mesh devices (GSPMD halo)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="abort with a traceback at the first NaN (jax_debug_nans)")
     p.add_argument("--evolve", type=int, nargs="?", const=10, default=0,
                    help="evolve hyperparameters for N generations")
     p.add_argument("--autoanchor", action="store_true",
