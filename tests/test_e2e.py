@@ -58,9 +58,10 @@ def trained(synth_root, tmp_path_factory):
     results, save_dir = train(
         cfg=cfg,
         data=str(synth_root / "data.yaml"),
-        epochs=3,
+        epochs=5,
         batch_size=8,
         img_size=128,
+        accumulate=1,
         project=str(run_dir),
         name="exp",
         workers=2,
@@ -179,3 +180,48 @@ def test_export_stablehlo_and_torch(trained, tmp_path):
 
     conv = load_torch_checkpoint(tmp_path / "exports" / "model.pt")
     assert len(conv["params"]) > 0
+
+
+def test_resume_training(trained, synth_root, tmp_path):
+    """--resume continues from the saved epoch with optimizer/EMA state."""
+    from skyeye_tpu.cli.train import train
+    from skyeye_tpu.config import ModelConfig
+    from skyeye_tpu.utils.checkpoint import load_checkpoint
+
+    before = load_checkpoint(trained / "weights" / "last")
+    start_epoch = int(before["epoch"])
+
+    cfg = ModelConfig(nc=2, base_channels=16, depth_multiple=0.33, width_multiple=0.25)
+    results, save_dir = train(
+        cfg=cfg,
+        data=str(synth_root / "data.yaml"),
+        epochs=start_epoch + 3,
+        batch_size=8,
+        img_size=128,
+        project=str(trained.parent),
+        name=trained.name,
+        resume=True,
+        workers=2,
+        noval=True,
+        max_labels=32,
+    )
+    after = load_checkpoint(trained / "weights" / "last")
+    assert int(after["epoch"]) >= start_epoch + 1
+    assert int(after["step"]) > int(before["step"])
+
+
+def test_results_accessors(trained, synth_root):
+    from skyeye_tpu import SkyEyeDetector
+
+    det = SkyEyeDetector(weights=str(trained / "weights" / "best"), img_size=128,
+                         conf_thres=0.01)
+    img_path = next((synth_root / "images" / "val").glob("*.jpg"))
+    results = det(str(img_path))
+    xyxy = results.xyxy[0]
+    xywh = results.xywh[0]
+    if len(xyxy):
+        np.testing.assert_allclose(xywh[:, 0], (xyxy[:, 0] + xyxy[:, 2]) / 2, atol=1e-3)
+        np.testing.assert_allclose(xywh[:, 2], xyxy[:, 2] - xyxy[:, 0], atol=1e-3)
+    results.print()
+    crops = results.crop(save_dir="/tmp/skyeye_crops_test")
+    assert isinstance(crops, list)
