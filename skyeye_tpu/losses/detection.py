@@ -68,9 +68,12 @@ def masked_mean(x, mask, eps: float = 1e-9):
 
 
 # The 5-entry neighbor offset table: center, left, up, right, down (scaled by g=0.5)
-# (reference functions.py:452-458).
-_OFFSETS = jnp.array(
-    [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0]], jnp.float32
+# (reference functions.py:452-458). Kept as numpy: creating a device array at import
+# time would initialize the JAX backend before the caller can configure it.
+import numpy as _np
+
+_OFFSETS = _np.array(
+    [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0]], _np.float32
 )
 _G = 0.5
 

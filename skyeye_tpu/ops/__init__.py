@@ -11,6 +11,7 @@ from .boxes import (
 )
 from .letterbox import letterbox, letterbox_batch_jax, letterbox_jax
 from .nms import nms_batched, nms_single, non_max_suppression
+from .tiling import detect_tiled, merge_tile_detections, slice_tiles, tile_grid
 
 __all__ = [
     "bbox_iou",
@@ -27,4 +28,8 @@ __all__ = [
     "nms_single",
     "nms_batched",
     "non_max_suppression",
+    "detect_tiled",
+    "merge_tile_detections",
+    "slice_tiles",
+    "tile_grid",
 ]
