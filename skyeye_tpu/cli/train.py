@@ -30,7 +30,7 @@ import yaml
 import jax
 import jax.numpy as jnp
 
-from ..config import DataConfig, ModelConfig, load_hyp
+from ..config import load_hyp
 from ..utils.general import (
     LOGGER, check_dataset, check_img_size, get_latest_run, increment_path,
     init_seeds, labels_to_class_weights, print_args,
@@ -41,7 +41,7 @@ from ..train import (
 )
 from ..train.optimizer import accumulation_steps
 from ..losses import ComputeLoss
-from ..utils.checkpoint import load_checkpoint, save_checkpoint, strip_checkpoint
+from ..utils.checkpoint import load_checkpoint, save_checkpoint
 
 
 RESULTS_HEADER = [

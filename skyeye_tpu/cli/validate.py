@@ -21,14 +21,13 @@ import json
 import time
 from functools import partial
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-from ..config import DataConfig, ModelConfig
 from ..models.head import decode_predictions
 from ..ops.nms import _nms_single_impl
 from ..utils.general import LOGGER, check_dataset, check_img_size, increment_path

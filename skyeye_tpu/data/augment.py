@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import math
 import random
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -202,8 +202,6 @@ def cutout(img: np.ndarray, labels: np.ndarray, p: float = 0.5,
         ymax = min(h, ymin + mask_h)
         img[ymin:ymax, xmin:xmax] = [rng.randint(64, 191) for _ in range(3)]
         if len(labels):
-            from ..ops.boxes import xywhn2xyxy  # lazy; numpy path below
-
             box = np.array([[xmin, ymin, xmax, ymax]], np.float32)
             l_xyxy = labels[:, 1:5].copy()
             l_xyxy = np.stack(

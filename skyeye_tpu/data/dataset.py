@@ -41,7 +41,7 @@ except Exception:  # pragma: no cover
 from ..config import DEFAULT_HYP
 from ..ops.letterbox import letterbox
 from ..utils.general import LOGGER
-from .augment import AerialAugmentor, augment_hsv, flip_lr, flip_ud, mixup, random_perspective
+from .augment import augment_hsv, flip_lr, flip_ud, mixup, random_perspective
 
 IMG_FORMATS = ("bmp", "dng", "jpeg", "jpg", "mpo", "png", "tif", "tiff", "webp")
 VID_FORMATS = ("asf", "avi", "gif", "m4v", "mkv", "mov", "mp4", "mpeg", "mpg", "ts", "wmv")

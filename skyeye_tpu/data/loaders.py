@@ -18,7 +18,7 @@ import os
 import time
 from pathlib import Path
 from threading import Thread
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional
 
 import numpy as np
 

@@ -22,8 +22,7 @@ Also fixed vs reference (SURVEY.md §8): ComputeLoss no longer assumes a YOLOv5
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ channels so the neck always matches.
 """
 from __future__ import annotations
 
-from typing import Any, List, Tuple
+from typing import Any, List
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ skyeye_tpu/api.py (README.md:39-53 capability).
 """
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Tuple
 
 import flax.linen as nn
 import jax

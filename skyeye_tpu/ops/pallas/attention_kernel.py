@@ -16,7 +16,6 @@ Design (pallas_guide.md):
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ TPU-native design:
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,10 +8,7 @@ in the truncated half of train.py (SURVEY.md C1).
 """
 from __future__ import annotations
 
-import math
-from typing import Callable, Dict
 
-import optax
 
 
 def one_cycle_cosine(lr0: float, lrf: float, epochs: int, steps_per_epoch: int,

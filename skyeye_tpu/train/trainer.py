@@ -14,7 +14,6 @@ AMP GradScaler — bf16 needs no loss scaling).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -6,7 +6,7 @@ per level, consistent with skyeye_tpu.config.DEFAULT_ANCHORS.
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

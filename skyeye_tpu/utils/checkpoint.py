@@ -291,7 +291,7 @@ def load_model(weights, num_classes: Optional[int] = None, dtype=jnp.float32,
     ('skyeye_s'/'m'/'l' — randomly initialized). Returns (module, variables, config).
     """
     from ..config import ModelConfig
-    from ..models.detector import SkyEyeDetectorModule, create_detector
+    from ..models.detector import create_detector
 
     path = Path(str(weights))
     if path.suffix in (".pt", ".pth") and path.exists():

@@ -8,7 +8,6 @@ raise with a clear message instead of silently returning.
 """
 from __future__ import annotations
 
-import os
 import subprocess
 from pathlib import Path
 from typing import Optional

@@ -23,7 +23,6 @@ import glob
 import logging
 import math
 import os
-import platform
 import random
 import re
 import socket

@@ -17,7 +17,7 @@ already-transferred numpy output, so the device never syncs inside the eval loop
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -14,7 +14,6 @@ Capability parity (reference /root/reference/skyeye/utils/visualization.py):
 """
 from __future__ import annotations
 
-import math
 from pathlib import Path
 from typing import Dict, Optional, Sequence
 
