@@ -84,8 +84,14 @@ def _nms_single_impl(
     max_det: int = 300,
     max_nms: int = 4096,
     class_mask=None,
+    approx_topk: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """NMS for one image's decoded predictions.
+
+    approx_topk uses jax.lax.approx_max_k (TPU-optimized; ~95% recall of the exact
+    top-k) for the candidate cut — greedy suppression itself does not require sorted
+    candidates, so the only effect is potentially dropping some sub-threshold-ranked
+    candidates. Keep False for mAP evaluation; flip on for serving throughput.
 
     Args:
       prediction: (N, 5 + nc) decoded [cx, cy, w, h, obj, cls...] (post-sigmoid).
@@ -114,7 +120,8 @@ def _nms_single_impl(
             scores_full = jnp.where(class_mask[None, :], scores_full, -1.0)
         flat = scores_full.reshape(-1)
         k = min(max_nms, flat.shape[0])
-        top_scores, top_flat_idx = jax.lax.top_k(flat, k)
+        topk = jax.lax.approx_max_k if approx_topk else jax.lax.top_k
+        top_scores, top_flat_idx = topk(flat, k)
         box_idx = top_flat_idx // nc
         cls_idx = (top_flat_idx % nc).astype(jnp.float32)
         cand_boxes = boxes[box_idx]
@@ -127,7 +134,8 @@ def _nms_single_impl(
         if class_mask is not None:
             score = jnp.where(class_mask[best_cls], score, -1.0)
         k = min(max_nms, score.shape[0])
-        top_scores, top_idx = jax.lax.top_k(score, k)
+        topk = jax.lax.approx_max_k if approx_topk else jax.lax.top_k
+        top_scores, top_idx = topk(score, k)
         cand_boxes = boxes[top_idx]
         cand_scores = top_scores
         cand_cls = best_cls[top_idx].astype(jnp.float32)
@@ -157,6 +165,7 @@ nms_single = partial(
         "agnostic",
         "max_det",
         "max_nms",
+        "approx_topk",
     ),
 )(_nms_single_impl)
 
