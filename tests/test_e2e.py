@@ -247,3 +247,44 @@ def test_validate_plots_and_json(trained, synth_root, tmp_path):
     assert (out / "val_batch0_pred.jpg").exists()
     assert (out / "predictions.json").exists() or True  # empty dets -> no file
     assert any((out / "labels").glob("*.txt"))
+
+
+def test_stablehlo_artifact_roundtrip(trained, tmp_path):
+    """The serialized StableHLO artifact must deserialize and execute."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from skyeye_tpu.cli.export import export_stablehlo
+    from skyeye_tpu.utils.checkpoint import load_model
+
+    module, variables, config = load_model(str(trained / "weights" / "best"))
+    out = export_stablehlo(module, variables, img_size=128, batch=1,
+                           out=tmp_path / "m.stablehlo")
+    blob = (tmp_path / "m.stablehlo").read_bytes()
+    restored = jexport.deserialize(bytearray(blob))
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    dec = restored.call(x)
+    n = sum(3 * (128 // s) ** 2 for s in (8, 16, 32))
+    assert dec.shape == (1, n, 7)
+    assert np.isfinite(np.asarray(dec)).all()
+
+
+def test_api_mixed_shapes_batching(trained, synth_root):
+    """Different-shaped sources group into separate launches but one Results."""
+    import cv2 as _cv2
+
+    from skyeye_tpu import SkyEyeDetector
+
+    det = SkyEyeDetector(weights=str(trained / "weights" / "best"), img_size=128,
+                         conf_thres=0.01)
+    rng = np.random.default_rng(0)
+    im_a = rng.integers(0, 255, (200, 300, 3)).astype(np.uint8)
+    im_b = rng.integers(0, 255, (300, 200, 3)).astype(np.uint8)
+    im_c = rng.integers(0, 255, (200, 300, 3)).astype(np.uint8)
+    results = det([im_a, im_b, im_c])
+    assert len(results) == 3
+    for d, im in zip(results.detections, [im_a, im_b, im_c]):
+        if len(d):
+            assert (d[:, 0] >= 0).all() and (d[:, 2] <= im.shape[1] + 1e-3).all()
+            assert (d[:, 1] >= 0).all() and (d[:, 3] <= im.shape[0] + 1e-3).all()
