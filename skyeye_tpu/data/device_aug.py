@@ -256,6 +256,28 @@ def mosaic_affine_batch(images, targets, mask, key, hyp: Optional[Dict] = None):
     )
 
 
+# -- mixup ----------------------------------------------------------------------
+
+
+def mixup_batch(images, targets, mask, key, p: float = 1.0):
+    """On-device mixup (reference augmentation.py:273-290): blend each image with a
+    batch-rolled partner using Beta(8, 8) weights; targets concatenate (M -> 2M)."""
+    B = images.shape[0]
+    k1, k2 = jax.random.split(key)
+    lam = jax.random.beta(k1, 8.0, 8.0, (B,))
+    do = jax.random.uniform(k2, (B,)) < p
+    lam = jnp.where(do, lam, 1.0)
+
+    partner = jnp.roll(images, B // 2 or 1, axis=0)
+    blended = images * lam[:, None, None, None] + partner * (1.0 - lam[:, None, None, None])
+
+    t2 = jnp.roll(targets, B // 2 or 1, axis=0)
+    m2 = jnp.roll(mask, B // 2 or 1, axis=0) & do[:, None]
+    out_t = jnp.concatenate([targets, t2], axis=1)
+    out_m = jnp.concatenate([mask, m2], axis=1)
+    return blended, out_t, out_m
+
+
 # -- flips ---------------------------------------------------------------------
 
 
@@ -284,9 +306,12 @@ def augment_batch_device(images, targets, mask, key, hyp: Optional[Dict] = None,
     Returns (images, targets (B, M' ,6), mask (B, M')) where M' = 4M with mosaic.
     """
     hyp = {**DEFAULT_HYP, **(hyp or {})}
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     if use_mosaic:
         images, targets, mask = mosaic_affine_batch(images, targets, mask, k1, hyp)
+    if hyp.get("mixup", 0.0) > 0:
+        images, targets, mask = mixup_batch(images, targets, mask, k4,
+                                            p=hyp["mixup"])
     images = hsv_jitter_batch(images, k2, hyp["hsv_h"], hyp["hsv_s"], hyp["hsv_v"])
     images, targets = flip_batch(images, targets, k3, hyp["fliplr"], hyp["flipud"])
     return images, targets, mask

@@ -107,3 +107,34 @@ def test_full_pipeline_jit_and_shapes():
     # second call with a different key reuses the compiled program
     out2, _, _ = fn(images, targets, mask, jax.random.PRNGKey(9))
     assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_mixup_batch_blend_and_targets():
+    from skyeye_tpu.data.device_aug import mixup_batch
+
+    B, s, M = 4, 16, 3
+    images = jnp.stack([jnp.full((s, s, 3), v) for v in (0.0, 0.25, 0.5, 0.75)])
+    targets = jnp.zeros((B, M, 6)).at[:, 0, 1].set(jnp.arange(B, dtype=jnp.float32))
+    targets = targets.at[:, 0, 2:].set(0.5)
+    mask = jnp.zeros((B, M), bool).at[:, 0].set(True)
+    out, t, m = mixup_batch(images, targets, mask, jax.random.PRNGKey(0), p=1.0)
+    assert out.shape == images.shape
+    assert t.shape == (B, 2 * M, 6) and m.shape == (B, 2 * M)
+    # each blended image is between its two parents
+    v0 = float(out[0, 0, 0, 0])
+    assert 0.0 <= v0 <= 0.5 + 1e-6  # parents are 0.0 and 0.5 (roll by 2)
+    # both parents' targets carried
+    assert bool(m[0, 0]) and bool(m[0, M])
+    assert float(t[0, M, 1]) == 2.0  # partner image (i+2)%4 class id
+
+
+def test_full_pipeline_with_mixup():
+    B, s, M = 4, 32, 4
+    rng = np.random.default_rng(5)
+    images = jnp.asarray(rng.uniform(0, 1, (B, s, s, 3)).astype(np.float32))
+    targets = jnp.zeros((B, M, 6)).at[:, 0].set(jnp.array([0, 1.0, 0.5, 0.5, 0.3, 0.3]))
+    mask = jnp.zeros((B, M), bool).at[:, 0].set(True)
+    out, t, m = augment_batch_device(images, targets, mask, KEY,
+                                     hyp={"mixup": 1.0}, use_mosaic=True)
+    assert t.shape == (B, 8 * M, 6)  # mosaic 4x then mixup 2x
+    assert np.isfinite(np.asarray(out)).all()
