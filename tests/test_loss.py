@@ -189,3 +189,14 @@ def test_aerial_loss_runs():
     mask = jnp.array([True])
     total, aux = loss_fn(preds, targets, mask)
     assert np.isfinite(float(total)) and float(total) > 0
+
+
+def test_aerial_loss_gradients_flow():
+    anchors = jnp.asarray(DEFAULT_ANCHORS)
+    loss_fn = AerialDetectionLoss(anchors, num_classes=4)
+    preds = make_preds(nc=4, B=1, seed=5)
+    targets = jnp.array([[0, 2, 0.5, 0.5, 0.2, 0.2]], jnp.float32)
+    mask = jnp.array([True])
+    g = jax.grad(lambda ps: loss_fn(ps, targets, mask)[0])(preds)
+    norm = sum(float(jnp.abs(x).sum()) for x in g)
+    assert np.isfinite(norm) and norm > 0

@@ -131,3 +131,24 @@ def test_fit_anchors_for_dataset_shape():
     # grid-unit anchors positive and finite
     flat = np.array(anchors).reshape(-1, 2)
     assert (flat > 0).all() and np.isfinite(flat).all()
+
+
+def test_profiling_model_info_and_flops():
+    import jax.numpy as jnp
+
+    from skyeye_tpu.config import ModelConfig
+    from skyeye_tpu.models import SkyEyeDetectorModule
+    from skyeye_tpu.utils.profiling import count_params, flops_of, model_info
+
+    import jax
+
+    cfg = ModelConfig(nc=2, base_channels=16, depth_multiple=0.33, width_multiple=0.25)
+    module = SkyEyeDetectorModule(config=cfg)
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    n = count_params(variables["params"])
+    assert n > 10_000
+    info = model_info(module, variables, img_size=64)
+    assert info["parameters"] == n
+    # FLOPs from XLA cost analysis for a simple matmul sanity-check
+    f = flops_of(lambda x: x @ x, jnp.zeros((64, 64)))
+    assert f is None or f >= 2 * 64**3 * 0.9
