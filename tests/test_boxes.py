@@ -82,3 +82,21 @@ def test_scale_boxes_letterbox_roundtrip():
     boxes = jnp.array([[100.0, 180.0, 200.0, 280.0]])
     out = np.asarray(scale_boxes((640, 640), boxes, (480, 640)))
     np.testing.assert_allclose(out, [[100.0, 100.0, 200.0, 200.0]], atol=1e-4)
+
+
+def test_normalized_conversions_roundtrip():
+    from skyeye_tpu.ops import xywhn2xyxy, xyxy2xywhn
+
+    rng = np.random.default_rng(2)
+    n = 16
+    xywhn = np.stack([
+        rng.uniform(0.2, 0.8, n), rng.uniform(0.2, 0.8, n),
+        rng.uniform(0.05, 0.3, n), rng.uniform(0.05, 0.3, n),
+    ], 1).astype(np.float32)
+    xyxy = xywhn2xyxy(jnp.asarray(xywhn), w=640, h=480)
+    back = np.asarray(xyxy2xywhn(xyxy, w=640, h=480))
+    np.testing.assert_allclose(back, xywhn, rtol=1e-5, atol=1e-5)
+    # padding shifts
+    shifted = np.asarray(xywhn2xyxy(jnp.asarray(xywhn), w=640, h=480, padw=10, padh=20))
+    np.testing.assert_allclose(shifted[:, 0] - np.asarray(xyxy)[:, 0], 10, atol=1e-5)
+    np.testing.assert_allclose(shifted[:, 1] - np.asarray(xyxy)[:, 1], 20, atol=1e-5)

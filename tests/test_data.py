@@ -173,3 +173,16 @@ def test_infinite_loader_cycles(synth_dataset):
     batches = list(loader.take(7))  # 12 imgs / bs 5 = 3 per epoch -> crosses epochs
     assert len(batches) == 7
     assert all(b["images"].shape == (5, 320, 320, 3) for b in batches)
+
+
+def test_cutout_removes_occluded_labels():
+    from skyeye_tpu.data import cutout
+    import random as _random
+
+    rng = _random.Random(0)
+    img = np.full((128, 128, 3), 100, np.uint8)
+    labels = np.array([[0, 0.5, 0.5, 0.2, 0.2]], np.float32)
+    out, new_labels = cutout(img, labels, p=1.0, rng=rng)
+    assert out.shape == img.shape
+    assert not np.array_equal(out, img)  # occlusion squares drawn
+    assert len(new_labels) <= len(labels)
