@@ -41,7 +41,9 @@ from ..train import (
 )
 from ..train.optimizer import accumulation_steps
 from ..losses import ComputeLoss
-from ..utils.checkpoint import load_checkpoint, save_checkpoint
+from ..utils.checkpoint import (
+    flatten_leaves as flatten_opt, load_checkpoint, save_checkpoint,
+)
 
 
 RESULTS_HEADER = [
@@ -191,13 +193,18 @@ def train(
 
     # -- optimizer + schedules (train.py:94-133)
     accumulate = accumulate or accumulation_steps(batch_size)
-    lr_sched = make_lr_schedule(hyp_dict, epochs, steps_per_epoch, cos_lr=not linear_lr)
+    # optax.MultiSteps advances the schedule count once per `accumulate` micro-steps,
+    # so every schedule must be denominated in OPTIMIZER steps, not loader batches
+    opt_steps_per_epoch = max(steps_per_epoch // accumulate, 1)
     warmup_steps = max(
         int(round(hyp_dict.get("warmup_epochs", 3.0) * steps_per_epoch)), 100
     )
+    warmup_opt_steps = max(warmup_steps // accumulate, 1)
+    lr_sched = make_lr_schedule(hyp_dict, epochs, opt_steps_per_epoch,
+                                cos_lr=not linear_lr, warmup_steps=warmup_opt_steps)
     tx = build_optimizer(lr_sched, hyp_dict, variables["params"], adam=adam,
                          batch_size=batch_size, accumulate=accumulate,
-                         warmup_steps=warmup_steps)
+                         warmup_steps=warmup_opt_steps)
 
     loss_fn = ComputeLoss(jnp.asarray(config.anchors), nc, hyp=hyp_dict)
     state = create_train_state(variables, tx)
@@ -208,7 +215,7 @@ def train(
         last = get_latest_run(project) or str(wdir / "last")
         if Path(last).exists():
             ckpt = load_checkpoint(last)
-            from ..utils.checkpoint import merge_matching
+            from ..utils.checkpoint import merge_matching, unflatten_like
 
             params, _, _ = merge_matching(state.params, ckpt["params"])
             stats, _, _ = merge_matching(state.batch_stats, ckpt.get("batch_stats", {}))
@@ -221,6 +228,17 @@ def train(
                 ),
                 step=jnp.asarray(ckpt.get("step", 0), jnp.int32),
             )
+            # exact resume: restore momentum/Adam moments + MultiSteps counter;
+            # a structure/shape mismatch (optimizer config changed) falls back to
+            # the fresh opt_state with a warning
+            if ckpt.get("opt_state"):
+                try:
+                    state = state._replace(
+                        opt_state=unflatten_like(state.opt_state, ckpt["opt_state"])
+                    )
+                except ValueError as e:
+                    LOGGER.warning("could not restore optimizer state (%s); "
+                                   "momenta restart from zero", e)
             start_epoch = int(ckpt.get("epoch", -1)) + 1
             best_fit = float(ckpt.get("best_fitness", 0.0))
             LOGGER.info("resumed from %s at epoch %d", last, start_epoch)
@@ -275,7 +293,7 @@ def train(
             [[float(m["box"]), float(m["obj"]), float(m["cls"])] for m in metric_handles],
             axis=0,
         ) if metric_handles else np.zeros(3)
-        lr_now = float(lr_sched(py_step))
+        lr_now = float(lr_sched(py_step // accumulate))  # schedule count = optimizer steps
         LOGGER.info("epoch %d/%d: box %.4f obj %.4f cls %.4f (%.1fs, lr %.5f)",
                     epoch + 1, epochs, *mloss, time.time() - t0, lr_now)
 
@@ -304,8 +322,9 @@ def train(
             "ema_params": state.ema.params,
             "ema_updates": int(state.ema.updates),
             # full optimizer state in last/ for exact resume (reference keeps the
-            # optimizer in last.pt and strips it from final weights, train.py:139-157)
-            "opt_state": state.opt_state,
+            # optimizer in last.pt and strips it from final weights, train.py:139-157);
+            # flattened because optax states are NamedTuples orbax round-trips as dicts
+            "opt_state": flatten_opt(state.opt_state),
             "step": int(state.step),
             "epoch": epoch,
             "best_fitness": best_fit,

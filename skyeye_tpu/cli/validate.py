@@ -135,6 +135,7 @@ def validate(
     stats = []
     confusion = ConfusionMatrix(nc=nc) if plots else None
     jdict = []
+    gt_jdict = []  # COCO-format GT mirror for the in-process COCO eval
     loss_sum = np.zeros(3)
     seen = 0
     t_pre = t_inf = 0.0
@@ -187,6 +188,12 @@ def validate(
                              save_dir / "labels" / f"im{seen:06d}.txt")
             if save_json:
                 save_one_json(d, jdict, seen, None)
+                for lb in labels:
+                    gt_jdict.append({
+                        "image_id": seen, "category_id": int(lb[0]),
+                        "bbox": [float(lb[1]), float(lb[2]),
+                                 float(lb[3] - lb[1]), float(lb[4] - lb[2])],
+                    })
 
         if plots and bi < 3:
             from ..utils.general import output_to_target
@@ -236,15 +243,22 @@ def validate(
 
     if confusion is not None:
         confusion.plot(save_dir=save_dir, names=names)
+    coco_stats = None
     if save_json and jdict:
         pred_json = save_dir / "predictions.json"
         pred_json.write_text(json.dumps(jdict))
         LOGGER.info("COCO predictions saved to %s", pred_json)
-        try:
-            import pycocotools  # noqa: F401
-            LOGGER.info("run pycocotools eval externally on %s", pred_json)
-        except ImportError:
-            LOGGER.info("pycocotools not installed; skipping COCO mAP eval")
+        # COCO-protocol eval (pycocotools-compatible numpy implementation — the
+        # reference's truncated pycocotools tail, validate.py:335-337)
+        from ..utils.coco_eval import evaluate_coco
+
+        coco_stats = evaluate_coco(gt_jdict, jdict)
+        LOGGER.info("COCO eval: AP %.4f  AP50 %.4f  AP75 %.4f  AR %.4f",
+                    coco_stats["AP"], coco_stats["AP50"], coco_stats["AP75"],
+                    coco_stats["AR"])
+        (save_dir / "coco_eval.json").write_text(
+            json.dumps({k: v for k, v in coco_stats.items() if k != "per_class"})
+        )
 
     maps = np.zeros(nc) + map_
     for i, c in enumerate(ap_class):

@@ -494,12 +494,16 @@ class BatchLoader:
                 imgs.append(np.ascontiguousarray(img))
                 tgts.append(t)
                 masks.append(m)
-        # pad the last partial batch to full size (fixed shapes for jit)
+        # pad the last partial batch to full size (fixed shapes for jit) with
+        # wrap-around duplicates of real images — blank frames would pollute the
+        # obj-loss mean and BatchNorm statistics once per epoch; eval paths ignore
+        # the pad via n_valid either way
         n_valid = len(imgs)
         while len(imgs) < self.batch_size:
-            imgs.append(np.zeros_like(imgs[0]))
-            tgts.append(np.zeros_like(tgts[0]))
-            masks.append(np.zeros_like(masks[0]))
+            j = (len(imgs) - n_valid) % n_valid
+            imgs.append(imgs[j])
+            tgts.append(tgts[j])
+            masks.append(masks[j])
         return {
             "images": np.stack(imgs),
             "targets": np.stack(tgts),

@@ -168,7 +168,6 @@ class ComputeLoss:
         anchors,
         num_classes: int,
         hyp: Optional[Dict[str, float]] = None,
-        autobalance: bool = False,
     ):
         from ..config import DEFAULT_HYP
 

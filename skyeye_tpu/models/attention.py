@@ -174,10 +174,13 @@ class CrossLayerAttention(nn.Module):
 class MultiHeadSelfAttention(nn.Module):
     """MHSA over a (B, N, C) token sequence (one fused qkv GEMM).
 
-    When `use_flash` and the token count tiles cleanly (N % 128 == 0, no mask/bias),
-    the attention core runs as the fused Pallas flash kernel
-    (ops/pallas/attention_kernel.py) — scores never leave VMEM. Otherwise the plain
-    einsum path runs (XLA), which is optimal for the small windowed cases.
+    When `use_flash` (no mask/bias, TPU backend, N large enough to matter), the
+    attention core runs as the fused Pallas flash kernel — tokens/head-dim are
+    zero-padded to 128 multiples and masked inside the kernel
+    (ops/pallas/attention_kernel.py:padded_flash_attention), so the P5 transformer
+    head engages it at every flagship resolution (400 tokens @640, 1600 @1280).
+    Scores never leave VMEM. The einsum path covers masked/biased and tiny-window
+    cases, where XLA is already optimal.
     """
 
     num_heads: int
@@ -196,18 +199,19 @@ class MultiHeadSelfAttention(nn.Module):
             self.use_flash
             and mask is None
             and bias is None
-            and N % 128 == 0
-            and hd % 128 == 0
+            and N >= 256  # tiny windows: einsum beats the kernel's pad overhead
             and jax.devices()[0].platform in ("tpu", "axon")
         )
         if flash_ok:
-            from ..ops.pallas.attention_kernel import flash_attention
+            from ..ops.pallas.attention_kernel import padded_flash_attention
 
             qf = q.transpose(0, 2, 1, 3).reshape(B * self.num_heads, N, hd)
             kf = k.transpose(0, 2, 1, 3).reshape(B * self.num_heads, N, hd)
             vf = v.transpose(0, 2, 1, 3).reshape(B * self.num_heads, N, hd)
-            of = flash_attention(qf.astype(jnp.float32), kf.astype(jnp.float32),
-                                 vf.astype(jnp.float32))
+            of = padded_flash_attention(
+                qf.astype(jnp.float32), kf.astype(jnp.float32),
+                vf.astype(jnp.float32),
+            )
             out = of.reshape(B, self.num_heads, N, hd).transpose(0, 2, 1, 3)
             out = out.reshape(B, N, C).astype(self.dtype)
         else:

@@ -22,6 +22,7 @@ This keeps image-in/boxes-out entirely on device; batching is `vmap`.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Tuple
 
@@ -29,6 +30,17 @@ import jax
 import jax.numpy as jnp
 
 from .boxes import xywh2xyxy
+
+
+def _pallas_nms_enabled() -> bool:
+    """Greedy suppression runs as the Pallas kernel on TPU backends (the whole
+    candidate set stays in VMEM); lax fallback on CPU or with SKYEYE_NO_PALLAS=1."""
+    if os.environ.get("SKYEYE_NO_PALLAS"):
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
 
 # Same spatial offset the reference uses to separate classes during suppression
 # (metrics.py:438: `c = x[:, 5:6] * max_wh`).
@@ -45,8 +57,12 @@ def _greedy_nms(boxes, scores, iou_thres: float, max_det: int):
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
     area = jnp.clip(x2 - x1, 0, None) * jnp.clip(y2 - y1, 0, None)
 
-    def body(i, carry):
-        live_scores, keep_idx, keep_valid = carry
+    def cond(carry):
+        i, _, _, _, prev_alive = carry
+        return (i < max_det) & prev_alive
+
+    def body(carry):
+        i, live_scores, keep_idx, keep_valid, _ = carry
         best = jnp.argmax(live_scores)
         best_score = live_scores[best]
         valid = best_score > 0.0
@@ -64,14 +80,18 @@ def _greedy_nms(boxes, scores, iou_thres: float, max_det: int):
 
         keep_idx = keep_idx.at[i].set(jnp.where(valid, best, 0).astype(jnp.int32))
         keep_valid = keep_valid.at[i].set(valid)
-        return live_scores, keep_idx, keep_valid
+        return i + 1, live_scores, keep_idx, keep_valid, valid
 
+    # while_loop (not fori): stop as soon as no candidate is live — at serving
+    # thresholds real detections << max_det, so the greedy loop runs n_kept+1 steps
     init = (
+        jnp.int32(0),
         scores,
         jnp.zeros((max_det,), jnp.int32),
         jnp.zeros((max_det,), bool),
+        jnp.bool_(True),
     )
-    _, keep_idx, keep_valid = jax.lax.fori_loop(0, max_det, body, init)
+    _, _, keep_idx, keep_valid, _ = jax.lax.while_loop(cond, body, init)
     return keep_idx, keep_valid
 
 
@@ -144,7 +164,14 @@ def _nms_single_impl(
     offset = jnp.where(agnostic, 0.0, cand_cls * _MAX_WH)
     offset_boxes = cand_boxes + offset[:, None]
 
-    keep_idx, keep_valid = _greedy_nms(offset_boxes, cand_scores, iou_thres, max_det)
+    if _pallas_nms_enabled():
+        from .pallas.nms_kernel import pallas_greedy_nms
+
+        keep_idx, keep_valid = pallas_greedy_nms(
+            offset_boxes, cand_scores, max_det=max_det, iou_thres=iou_thres
+        )
+    else:
+        keep_idx, keep_valid = _greedy_nms(offset_boxes, cand_scores, iou_thres, max_det)
 
     out_boxes = cand_boxes[keep_idx]
     out_scores = cand_scores[keep_idx]

@@ -25,8 +25,13 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
-    """Blocks as delivered: q (1, BQ, hd); k, v (1, N, hd); o (1, BQ, hd)."""
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float,
+                  valid_len: int):
+    """Blocks as delivered: q (1, BQ, hd); k, v (1, N, hd); o (1, BQ, hd).
+
+    valid_len masks zero-padded keys (index >= valid_len get -inf scores) so callers
+    can pad token counts up to a 128 multiple without changing the attention result.
+    """
     q = q_ref[0] * scale
     N = k_ref.shape[1]
     hd = q.shape[1]
@@ -44,6 +49,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
             q, k_tile, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (BQ, BK)
+        if valid_len < N:
+            key_idx = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 1
+            )
+            s = jnp.where(key_idx < valid_len, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -59,7 +69,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+    jax.jit, static_argnames=("block_q", "block_k", "interpret", "valid_len", "scale")
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -68,19 +78,27 @@ def flash_attention(
     block_q: int = 128,
     block_k: int = 128,
     interpret: bool = False,
+    valid_len: int = -1,
+    scale: float = -1.0,
 ) -> jnp.ndarray:
-    """Fused softmax(q k^T / sqrt(hd)) v over (B, N, hd) arrays (B = batch*heads).
+    """Fused softmax(q k^T * scale) v over (B, N, hd) arrays (B = batch*heads).
 
-    N must be a multiple of block_q and block_k (pad tokens with zeros and mask at
-    the caller if needed; detection-head grids are powers of two).
+    N must be a multiple of block_q and block_k. To use arbitrary token counts,
+    zero-pad to a 128 multiple and pass the true count as `valid_len` (padded keys
+    are masked inside the kernel; padded query rows return zeros). `scale` defaults
+    to hd**-0.5 — pass the true head dim's scale when hd itself is zero-padded.
     """
     B, N, hd = q.shape
     assert N % block_q == 0 and N % block_k == 0, (N, block_q, block_k)
-    scale = hd**-0.5
+    if valid_len < 0:
+        valid_len = N
+    if scale <= 0.0:
+        scale = hd**-0.5
 
     grid = (B, N // block_q)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k, scale=scale),
+        functools.partial(_flash_kernel, block_k=block_k, scale=scale,
+                          valid_len=valid_len),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0),
@@ -96,6 +114,29 @@ def flash_attention(
         interpret=interpret,
     )(q, k, v)
     return out
+
+
+def padded_flash_attention(q, k, v, interpret: bool = False):
+    """flash_attention for arbitrary (B, N, hd): zero-pads N to a 128 multiple and
+    hd to 128 lanes, masks the pad inside the kernel, and slices the output back.
+
+    Zero-padding hd is exact: q.k logits are unchanged by zero lanes and the padded
+    v lanes produce zero output columns, which are sliced off. This is what lets the
+    transformer-enhanced P5 head (400 tokens @640px, 1600 @1280px) run on the fused
+    kernel instead of materializing (N, N) score matrices (reference attention.py:244-309).
+    """
+    B, N, hd = q.shape
+    n_pad = (-N) % 128
+    h_pad = (-hd) % 128
+    if n_pad == 0 and h_pad == 0:
+        return flash_attention(q, k, v, interpret=interpret)
+    pad = ((0, 0), (0, n_pad), (0, h_pad))
+    qp = jnp.pad(q, pad)
+    kp = jnp.pad(k, pad)
+    vp = jnp.pad(v, pad)
+    out = flash_attention(qp, kp, vp, interpret=interpret, valid_len=N,
+                          scale=hd**-0.5)
+    return out[:, :N, :hd]
 
 
 def attention_reference(q, k, v):

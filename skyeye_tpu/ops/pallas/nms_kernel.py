@@ -28,45 +28,77 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_SUBLANES = 8  # VPU register rows: (8, k/8) shapes use all sublanes, (1, k) only one
+
+
 def _nms_kernel(coords_ref, scores_ref, keep_idx_ref, keep_valid_ref, *,
                 max_det: int, iou_thres: float):
-    """coords (4, k), scores (1, k) -> keep_idx (1, max_det), keep_valid (1, max_det)."""
-    x1 = coords_ref[0:1, :]  # (1, k)
-    y1 = coords_ref[1:2, :]
-    x2 = coords_ref[2:3, :]
-    y2 = coords_ref[3:4, :]
-    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
-    k = x1.shape[1]
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    """coords (4, k), scores (1, k) -> keep_idx (1, max_det), keep_valid (1, max_det).
 
-    def body(i, live):
+    Perf-critical layout: every per-step vector op runs on (8, k/8) registers so the
+    full 8x128 VPU is busy (a (1, k) layout would idle 7 of 8 sublanes — measured 2x
+    slower than the lax fallback). The winner's coordinates are extracted by masked
+    reductions (Mosaic cannot prove alignment for dynamic lane-offset loads, so a
+    coords_ref[:, pl.ds(best, 1)] gather does not compile).
+    """
+    k = coords_ref.shape[1]
+    km = k // _SUBLANES
+    # row-major (8, k/8): element (r, c) is candidate r*km + c
+    x1 = coords_ref[0:1, :].reshape(_SUBLANES, km)
+    y1 = coords_ref[1:2, :].reshape(_SUBLANES, km)
+    x2 = coords_ref[2:3, :].reshape(_SUBLANES, km)
+    y2 = coords_ref[3:4, :].reshape(_SUBLANES, km)
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+    gidx = (
+        jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, km), 0) * km
+        + jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, km), 1)
+    )
+
+    # zero-init outputs, then early-exit the greedy loop once nothing is live —
+    # at serving thresholds real detections << max_det, so this cuts the step
+    # count from max_det to (n_kept + 1)
+    def init_body(i, _):
+        keep_idx_ref[0, i] = 0
+        keep_valid_ref[0, i] = 0
+        return 0
+
+    jax.lax.fori_loop(0, max_det, init_body, 0, unroll=False)
+
+    def cond(carry):
+        i, live, prev_alive = carry
+        return (i < max_det) & prev_alive
+
+    def body(carry):
+        i, live, _ = carry
         best_score = jnp.max(live)
         valid = best_score > 0.0
-        is_best = live == best_score
         # first index achieving the max (argmax with deterministic tie-break)
-        best = jnp.min(jnp.where(is_best, col_ids, k))
-        best_onehot = (col_ids == best).astype(x1.dtype)  # (1, k)
+        best = jnp.min(jnp.where(live == best_score, gidx, k))
 
-        # broadcast the winner's coordinates via masked reduction (no dynamic slice)
-        bx1 = jnp.sum(x1 * best_onehot)
-        by1 = jnp.sum(y1 * best_onehot)
-        bx2 = jnp.sum(x2 * best_onehot)
-        by2 = jnp.sum(y2 * best_onehot)
-        barea = jnp.sum(area * best_onehot)
+        onehot = gidx == best  # (8, km); exactly one element set when valid
+        bx1 = jnp.sum(jnp.where(onehot, x1, 0.0))
+        by1 = jnp.sum(jnp.where(onehot, y1, 0.0))
+        bx2 = jnp.sum(jnp.where(onehot, x2, 0.0))
+        by2 = jnp.sum(jnp.where(onehot, y2, 0.0))
+        barea = jnp.sum(jnp.where(onehot, area, 0.0))
 
         iw = jnp.maximum(jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1), 0.0)
         ih = jnp.maximum(jnp.minimum(y2, by2) - jnp.maximum(y1, by1), 0.0)
         inter = iw * ih
         iou = inter / (area + barea - inter + 1e-7)
 
-        suppress = ((iou > iou_thres) & valid) | (col_ids == best)
+        suppress = ((iou > iou_thres) & valid) | onehot
         live = jnp.where(suppress, -1.0, live)
 
-        keep_idx_ref[0, i] = jnp.where(valid, best, 0).astype(jnp.int32)
-        keep_valid_ref[0, i] = valid.astype(jnp.int32)
-        return live
+        @pl.when(valid)
+        def _():
+            keep_idx_ref[0, i] = best.astype(jnp.int32)
+            keep_valid_ref[0, i] = 1
 
-    jax.lax.fori_loop(0, max_det, body, scores_ref[:], unroll=False)
+        return i + 1, live, valid
+
+    live0 = scores_ref[:].reshape(_SUBLANES, km)
+    jax.lax.while_loop(cond, body, (jnp.int32(0), live0, jnp.bool_(True)))
 
 
 @functools.partial(jax.jit, static_argnames=("max_det", "iou_thres", "interpret"))
@@ -83,6 +115,11 @@ def pallas_greedy_nms(
     Returns (keep_idx (max_det,) int32, keep_valid (max_det,) bool) — identical to
     ops.nms._greedy_nms.
     """
+    k = boxes.shape[0]
+    pad = (-k) % _SUBLANES  # kernel reshapes candidates to (8, k/8)
+    if pad:
+        boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
+        scores = jnp.pad(scores, (0, pad), constant_values=-1.0)
     coords = boxes.T.astype(jnp.float32)          # (4, k)
     scores2 = scores.reshape(1, -1).astype(jnp.float32)
     keep_idx, keep_valid = pl.pallas_call(

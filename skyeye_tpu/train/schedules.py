@@ -8,7 +8,7 @@ in the truncated half of train.py (SURVEY.md C1).
 """
 from __future__ import annotations
 
-
+from typing import Dict, Optional
 
 
 def one_cycle_cosine(lr0: float, lrf: float, epochs: int, steps_per_epoch: int,
@@ -23,7 +23,7 @@ def one_cycle_cosine(lr0: float, lrf: float, epochs: int, steps_per_epoch: int,
         if warmup_steps > 0:
             w = jnp.clip(step / warmup_steps, 0.0, 1.0)
             warm_lr = warmup_init + w * (lr0 - warmup_init)
-            return jnp.where(step < warmup_steps, jnp.minimum(warm_lr, cos_lr) * 0 + warm_lr, cos_lr)
+            return jnp.where(step < warmup_steps, warm_lr, cos_lr)
         return cos_lr
 
     return schedule
@@ -47,8 +47,13 @@ def linear_schedule(lr0: float, lrf: float, epochs: int, steps_per_epoch: int,
 
 
 def make_lr_schedule(hyp: Dict[str, float], epochs: int, steps_per_epoch: int,
-                     cos_lr: bool = True):
-    warmup_steps = max(int(round(hyp.get("warmup_epochs", 3.0) * steps_per_epoch)), 100)
+                     cos_lr: bool = True, warmup_steps: Optional[int] = None):
+    """`steps_per_epoch` and `warmup_steps` must be denominated in OPTIMIZER steps.
+    With gradient accumulation (optax.MultiSteps) the schedule count only advances
+    once per `accumulate` micro-steps, so callers must divide micro-step counts by
+    `accumulate` before passing them here."""
+    if warmup_steps is None:
+        warmup_steps = max(int(round(hyp.get("warmup_epochs", 3.0) * steps_per_epoch)), 100)
     maker = one_cycle_cosine if cos_lr else linear_schedule
     return maker(
         hyp["lr0"], hyp["lrf"], epochs, steps_per_epoch,

@@ -76,6 +76,33 @@ def load_checkpoint(path) -> Dict[str, Any]:
     return out
 
 
+def flatten_leaves(tree) -> Dict[str, Any]:
+    """Serialize an arbitrary pytree (e.g. optax opt_state with NamedTuple nodes) as
+    a flat, orbax-friendly dict of its leaves in tree order. Rebuild with
+    `unflatten_like` against a freshly-initialized state of the same structure."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    return {f"{i:05d}": l for i, l in enumerate(leaves)}
+
+
+def unflatten_like(template, flat: Dict[str, Any]):
+    """Inverse of `flatten_leaves`: pour saved leaves into `template`'s structure.
+    Raises ValueError on leaf-count or shape mismatch (e.g. optimizer config drift),
+    so callers can fall back to a fresh opt_state rather than resume wrongly."""
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    saved = [flat[k] for k in sorted(flat)]
+    if len(saved) != len(leaves):
+        raise ValueError(
+            f"opt_state leaf count mismatch: saved {len(saved)} vs expected {len(leaves)}"
+        )
+    cast = []
+    for s, t in zip(saved, leaves):
+        t = jnp.asarray(t)
+        if np.shape(s) != t.shape:
+            raise ValueError(f"opt_state leaf shape mismatch: {np.shape(s)} vs {t.shape}")
+        cast.append(jnp.asarray(s, t.dtype))
+    return jax.tree_util.tree_unflatten(treedef, cast)
+
+
 def strip_checkpoint(path, half: bool = False) -> None:
     """Reduce a training checkpoint to deployable EMA weights only."""
     ckpt = load_checkpoint(path)
@@ -269,7 +296,9 @@ def merge_matching(target: Dict, source: Dict, prefix: str = "") -> Tuple[Dict, 
         for k, tv in t.items():
             sv = s.get(k) if isinstance(s, dict) else None
             if isinstance(tv, dict):
-                out[k] = walk(tv, sv or {})
+                # guard structure mismatch: source may hold an ndarray where the
+                # target has a subtree ("truth value of an array is ambiguous")
+                out[k] = walk(tv, sv if isinstance(sv, dict) else {})
             else:
                 if sv is not None and np.shape(sv) == np.shape(tv):
                     out[k] = jnp.asarray(sv, dtype=jnp.asarray(tv).dtype)

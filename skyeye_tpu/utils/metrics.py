@@ -39,7 +39,8 @@ def compute_ap(recall: np.ndarray, precision: np.ndarray) -> Tuple[float, np.nda
     mpre = np.concatenate(([1.0], precision, [0.0]))
     mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
     x = np.linspace(0, 1, 101)  # 101-point interp (COCO)
-    ap = np.trapezoid(np.interp(x, mrec, mpre), x)
+    # np.trapezoid is NumPy>=2.0; fall back to the old spelling on 1.x
+    ap = getattr(np, "trapezoid", np.trapz)(np.interp(x, mrec, mpre), x)
     return float(ap), mpre, mrec
 
 

@@ -8,6 +8,25 @@ NOTE: this environment's sitecustomize registers the `axon` TPU backend and call
 the JAX_PLATFORMS env var — so the override must happen through jax.config here.
 """
 import jax
+import pytest
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+# Module-level marker assignment so the suite has a <2-min fast lane:
+#   pytest -m "not slow and not e2e and not torch"
+_MODULE_MARKS = {
+    "test_e2e": ("e2e", "slow"),
+    "test_torch_parity": ("torch", "slow"),
+    "test_loss_parity": ("torch",),
+    "test_train": ("slow",),
+    "test_device_aug": ("slow",),
+    "test_video": ("slow",),
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = getattr(item.module, "__name__", "")
+        for mark in _MODULE_MARKS.get(mod, ()):
+            item.add_marker(getattr(pytest.mark, mark))

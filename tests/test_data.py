@@ -103,8 +103,13 @@ def test_batch_loader_fixed_shapes(synth_dataset):
         assert b["targets"].shape == (5, 50, 6)
         assert b["mask"].shape == (5, 50)
     assert int(batches[-1]["n_valid"]) == 2
-    # padded images contribute no targets
-    assert not b["mask"][2:].any()
+    # padding is wrap-around duplicates of real images (not blank frames that would
+    # pollute BN stats / obj loss); pad slot i mirrors valid slot i % n_valid
+    np.testing.assert_array_equal(b["images"][2], b["images"][0])
+    np.testing.assert_array_equal(b["targets"][2], b["targets"][0])
+    np.testing.assert_array_equal(b["mask"][3], b["mask"][1])
+    # indices mark the pad slots as invalid for eval paths
+    assert (b["indices"][2:] == -1).all()
 
 
 def test_augment_hsv_and_flip():

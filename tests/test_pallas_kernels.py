@@ -6,6 +6,7 @@ import pytest
 
 from skyeye_tpu.ops.nms import _greedy_nms
 from skyeye_tpu.ops.pallas import attention_reference, flash_attention, pallas_greedy_nms
+from skyeye_tpu.ops.pallas.attention_kernel import padded_flash_attention
 
 
 def make_candidates(rng, k=256, n_real=100):
@@ -57,6 +58,39 @@ def test_flash_attention_matches_reference():
     ref = attention_reference(q, k, v)
     got = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("N,hd", [(400, 64), (1600, 128), (400, 96)])
+def test_padded_flash_attention_matches_reference(N, hd):
+    """Detection-head token counts (P5 @640 = 400, @1280 = 1600) and head dims that
+    need zero-padding + in-kernel masking to tile onto the MXU."""
+    rng = np.random.default_rng(3)
+    B = 2
+    q = jnp.asarray(rng.normal(0, 1, (B, N, hd)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 1, (B, N, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(0, 1, (B, N, hd)).astype(np.float32))
+    ref = attention_reference(q, k, v)
+    got = padded_flash_attention(q, k, v, interpret=True)
+    assert got.shape == (B, N, hd)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_nms_under_vmap():
+    """nms_batched vmaps the kernel over images; interpret mode checks the lowering."""
+    rng = np.random.default_rng(4)
+    boxes = []
+    scores = []
+    for _ in range(3):
+        b, s = make_candidates(rng, k=256, n_real=150)
+        boxes.append(b)
+        scores.append(s)
+    bb, ss = jnp.asarray(np.stack(boxes)), jnp.asarray(np.stack(scores))
+    got_idx, got_valid = jax.vmap(
+        lambda b, s: pallas_greedy_nms(b, s, max_det=64, iou_thres=0.45, interpret=True)
+    )(bb, ss)
+    ref_idx, ref_valid = jax.vmap(lambda b, s: _greedy_nms(b, s, 0.45, 64))(bb, ss)
+    np.testing.assert_array_equal(np.asarray(got_valid), np.asarray(ref_valid))
+    np.testing.assert_array_equal(np.asarray(got_idx), np.asarray(ref_idx))
 
 
 def test_flash_attention_numerically_stable_large_logits():
