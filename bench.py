@@ -25,7 +25,7 @@ NC = 10
 BASELINE_CACHE = Path(__file__).parent / ".bench_baseline.json"
 
 
-def measure_tpu() -> float:
+def measure_tpu() -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -36,21 +36,24 @@ def measure_tpu() -> float:
     from skyeye_tpu.config import ModelConfig
     from skyeye_tpu.models import SkyEyeDetectorModule, decode_predictions
     from skyeye_tpu.ops.nms import _nms_single_impl
+    from skyeye_tpu.ops.packed_stem import pack_stem_variables, s2d4_host
     from functools import partial
 
     cfg = ModelConfig.from_variant(VARIANT, nc=NC)
-    module = SkyEyeDetectorModule(config=cfg, dtype=jnp.bfloat16)
-    variables = module.init(
+    # serving form: BN folded into conv kernels + s2d-packed first stage (exact
+    # weight remaps; equivalence asserted by tests/test_packed_stem.py)
+    module = SkyEyeDetectorModule(config=cfg, dtype=jnp.bfloat16, packed_stem=True)
+    canonical = SkyEyeDetectorModule(config=cfg, dtype=jnp.bfloat16)
+    variables = canonical.init(
         jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3), jnp.float32), train=False
     )
-    # deployment form: BN folded into conv kernels (same graph, identity BN)
     from skyeye_tpu.utils.checkpoint import fuse_conv_bn
 
-    variables = fuse_conv_bn(variables)
+    variables = pack_stem_variables(fuse_conv_bn(variables))
     anchors = jnp.asarray(cfg.anchors)
 
     @jax.jit
-    def pipeline(frames):  # uint8 (B, H, W, 3)
+    def pipeline(frames):  # uint8 (B, H/4, W/4, 48) host-packed (s2d4_host)
         x = frames.astype(jnp.bfloat16) / 255.0
         outs = module.apply(variables, x, train=False)
         dec = decode_predictions(outs, anchors, (IMG, IMG))
@@ -62,7 +65,8 @@ def measure_tpu() -> float:
 
     rng = np.random.default_rng(0)
     frames = [
-        jnp.asarray(rng.integers(0, 255, (BATCH, IMG, IMG, 3)).astype(np.uint8))
+        jnp.asarray(s2d4_host(
+            rng.integers(0, 255, (BATCH, IMG, IMG, 3)).astype(np.uint8)))
         for _ in range(2)
     ]
 
@@ -70,6 +74,18 @@ def measure_tpu() -> float:
     jax.block_until_ready(pipeline(frames[0]))
     compile_s = time.time() - t0
     print(f"# compile: {compile_s:.1f}s", file=sys.stderr)
+
+    # analytic forward FLOPs for the MFU figure (XLA cost analysis when available)
+    flops_per_img = None
+    try:
+        from skyeye_tpu.utils.profiling import flops_of
+
+        f = flops_of(lambda fr: module.apply(variables, fr.astype(jnp.bfloat16) / 255.0,
+                                             train=False), frames[0])
+        if f:
+            flops_per_img = f / BATCH
+    except Exception as e:
+        print(f"# cost analysis unavailable: {e}", file=sys.stderr)
 
     # latency mode: one batch in flight
     times = []
@@ -88,7 +104,15 @@ def measure_tpu() -> float:
     outs = [pipeline(frames[i % 2]) for i in range(K)]
     jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / K
-    return BATCH / dt
+    ips = BATCH / dt
+    mfu = None
+    if flops_per_img:
+        # v5e bf16 peak 197 TFLOP/s
+        mfu = round(ips * flops_per_img / 197e12 * 100, 2)
+        print(f"# fwd FLOPs/img {flops_per_img / 1e9:.1f} GF -> MFU {mfu}%",
+              file=sys.stderr)
+    return {"ips": ips, "latency_ips": BATCH / lat, "mfu_pct": mfu,
+            "compile_s": round(compile_s, 1)}
 
 
 def measure_torch_reference() -> float:
@@ -170,33 +194,41 @@ def device_reachable(timeout_s: int = 300) -> bool:
 
 
 def main():
+    metric_name = (f"skyeye_{VARIANT} e2e inference images/sec/chip @{IMG}px "
+                   f"batch {BATCH} (fwd+decode+NMS, pipelined)")
     if not device_reachable():
+        # NEVER emit a cached number silently: mark it loudly so the record can't
+        # be mistaken for a live measurement
         print("# TPU backend unreachable (wedged relay?); trying cached measurement",
               file=sys.stderr)
         if LAST_GOOD.exists():
-            print(LAST_GOOD.read_text().strip())
+            rec = json.loads(LAST_GOOD.read_text())
+            rec["cached"] = True
+            rec["metric"] = rec["metric"] + " [CACHED — live measurement failed]"
+            print(json.dumps(rec))
             return
-        print(json.dumps({
-            "metric": f"skyeye_{VARIANT} e2e inference images/sec/chip @{IMG}px "
-                      f"batch {BATCH} (fwd+decode+NMS, pipelined)",
-            "value": 0.0,
-            "unit": "images/sec",
-            "vs_baseline": 0.0,
-        }))
+        print(json.dumps({"metric": metric_name, "value": 0.0,
+                          "unit": "images/sec", "vs_baseline": 0.0,
+                          "cached": False}))
         return
 
-    value = measure_tpu()
+    m = measure_tpu()
     try:
         baseline = measure_torch_reference()
     except Exception as e:
         print(f"# baseline measurement failed: {e}", file=sys.stderr)
         baseline = 0.0
-    vs = value / baseline if baseline > 0 else 0.0
+    vs = m["ips"] / baseline if baseline > 0 else 0.0
     line = json.dumps({
-        "metric": f"skyeye_{VARIANT} e2e inference images/sec/chip @{IMG}px batch {BATCH} (fwd+decode+NMS, pipelined)",
-        "value": round(value, 2),
+        "metric": metric_name,
+        "value": round(m["ips"], 2),
         "unit": "images/sec",
+        # no CUDA GPU exists in this environment: vs_baseline is the repaired
+        # reference's torch pipeline on host CPU (see BASELINE.md for context)
         "vs_baseline": round(vs, 2),
+        "latency_images_per_s": round(m["latency_ips"], 2),
+        "mfu_pct": m["mfu_pct"],
+        "cached": False,
     })
     LAST_GOOD.write_text(line + "\n")
     print(line)

@@ -180,6 +180,16 @@ class SkyEyeDetector:
         self.names = list(names) if names else [str(i) for i in range(self.config.nc)]
         self.pt = True  # reference detect.py:126 checks model.pt
         self._executables: Dict[Tuple, Any] = {}
+        # Compile budget for the fully-on-device letterbox path: each distinct input
+        # (H, W) is one compile (minutes through a remote-compile tunnel). Past the
+        # budget, images are letterboxed on the HOST into the canonical square and
+        # run through ONE shared executable — a mixed-shape folder costs at most
+        # max_compiled_shapes + 1 compiles instead of one per unique shape.
+        self.max_compiled_shapes = 4
+        self._seen_shapes: set = set()
+        # s2d-packed serving stem (ops/packed_stem.py) for the host-letterboxed
+        # path: exact weight remap, ~25% e2e throughput on v5e
+        self._packed = None
 
     # -- core jitted pipeline ---------------------------------------------------
 
@@ -215,6 +225,62 @@ class SkyEyeDetector:
         self._executables[key] = run
         return run
 
+    def _packed_model(self):
+        if self._packed is None:
+            from .models.detector import SkyEyeDetectorModule
+            from .ops.packed_stem import pack_stem_variables
+
+            module = SkyEyeDetectorModule(
+                config=self.config, dtype=self.module.dtype, packed_stem=True
+            )
+            self._packed = (module, pack_stem_variables(self.variables))
+        return self._packed
+
+    def _pipeline_canonical(self, out_shape: Tuple[int, int], multi_label: bool,
+                            agnostic: bool):
+        """Executable over host-letterboxed canonical frames: packed uint8
+        (B, S/4, S/4, 48) -> detections. One compile serves every input shape."""
+        key = ("canonical", out_shape, multi_label, agnostic)
+        if key in self._executables:
+            return self._executables[key]
+
+        module, variables = self._packed_model()
+        anchors = jnp.asarray(self.config.anchors)
+        conf, iou, max_det = self.conf_thres, self.iou_thres, self.max_det
+
+        @jax.jit
+        def run(frames):
+            x = frames.astype(module.dtype) / 255.0
+            outs = module.apply(variables, x, train=False)
+            dec = decode_predictions(outs, anchors, out_shape)
+            det, n = jax.vmap(
+                partial(
+                    _nms_single_impl,
+                    conf_thres=conf, iou_thres=iou, multi_label=multi_label,
+                    agnostic=agnostic, max_det=max_det, max_nms=4096,
+                )
+            )(dec)
+            return det, n
+
+        self._executables[key] = run
+        return run
+
+    @staticmethod
+    def _batch_buckets(n: int, cap: int = 16) -> List[int]:
+        """Split n items into fixed batch sizes (powers of two up to cap) so batch
+        count, like shapes, draws from a small compile-cached set."""
+        sizes = []
+        while n >= cap:
+            sizes.append(cap)
+            n -= cap
+        b = 1
+        while n > 0:
+            if n & b:
+                sizes.append(b)
+                n -= b
+            b <<= 1
+        return sorted(sizes, reverse=True)
+
     def warmup(self, imgsz: Tuple[int, int, int, int] = (1, 3, 640, 640)):
         """Compile the pipeline for the given shape (reference model.warmup,
         detect.py:126)."""
@@ -232,27 +298,70 @@ class SkyEyeDetector:
         out_size = check_img_size(size or self.img_size, self.stride)
 
         t0 = time.perf_counter()
-        # group by identical input shape so each group is one batched launch
+        # Split by input shape, but only spend device-letterbox compiles on the
+        # first max_compiled_shapes distinct shapes; everything else goes through
+        # the shared canonical executable via host letterbox (no new compiles).
         groups: Dict[Tuple[int, int], List[int]] = {}
+        host_idxs: List[int] = []
         for i, im in enumerate(imgs):
-            groups.setdefault(im.shape[:2], []).append(i)
+            shape = im.shape[:2]
+            if shape in self._seen_shapes or len(self._seen_shapes) < self.max_compiled_shapes:
+                self._seen_shapes.add(shape)
+                groups.setdefault(shape, []).append(i)
+            else:
+                host_idxs.append(i)
 
         detections: List[Optional[np.ndarray]] = [None] * len(imgs)
         t_infer = 0.0
+
+        def _rescale(d, gain, dw, dh, shape):
+            if len(d):
+                d[:, [0, 2]] = np.clip((d[:, [0, 2]] - dw) / gain, 0, shape[1])
+                d[:, [1, 3]] = np.clip((d[:, [1, 3]] - dh) / gain, 0, shape[0])
+            return d
+
         for shape, idxs in groups.items():
-            batch = np.stack([imgs[i][:, :, ::-1] for i in idxs])  # BGR->RGB
             run = self._pipeline(shape, (out_size, out_size), multi_label, agnostic)
-            t1 = time.perf_counter()
-            det, n = run(jnp.asarray(batch))
-            det, n = np.asarray(det), np.asarray(n)
-            t_infer += time.perf_counter() - t1
             gain, dw, dh = letterbox_params(shape, (out_size, out_size))
-            for k, i in enumerate(idxs):
-                d = det[k, : n[k]].copy()
-                if len(d):
-                    d[:, [0, 2]] = np.clip((d[:, [0, 2]] - dw) / gain, 0, shape[1])
-                    d[:, [1, 3]] = np.clip((d[:, [1, 3]] - dh) / gain, 0, shape[0])
-                detections[i] = d
+            pos = 0
+            for bs in self._batch_buckets(len(idxs)):
+                chunk = idxs[pos : pos + bs]
+                pos += bs
+                batch = np.stack([imgs[i][:, :, ::-1] for i in chunk])  # BGR->RGB
+                t1 = time.perf_counter()
+                det, n = run(jnp.asarray(batch))
+                det, n = np.asarray(det), np.asarray(n)
+                t_infer += time.perf_counter() - t1
+                for k, i in enumerate(chunk):
+                    detections[i] = _rescale(det[k, : n[k]].copy(), gain, dw, dh,
+                                             shape)
+
+        if host_idxs:
+            from .ops.letterbox import letterbox
+            from .ops.packed_stem import s2d4_host
+
+            run = self._pipeline_canonical((out_size, out_size), multi_label,
+                                           agnostic)
+            pos = 0
+            for bs in self._batch_buckets(len(host_idxs)):
+                chunk = host_idxs[pos : pos + bs]
+                pos += bs
+                lb, params = [], []
+                for i in chunk:
+                    im, ratio, (dw, dh) = letterbox(
+                        imgs[i][:, :, ::-1], (out_size, out_size), auto=False
+                    )
+                    lb.append(im)
+                    params.append((ratio[0], dw, dh))
+                batch = s2d4_host(np.stack(lb))
+                t1 = time.perf_counter()
+                det, n = run(jnp.asarray(batch))
+                det, n = np.asarray(det), np.asarray(n)
+                t_infer += time.perf_counter() - t1
+                for k, i in enumerate(chunk):
+                    gain, dw, dh = params[k]
+                    detections[i] = _rescale(det[k, : n[k]].copy(), gain, dw, dh,
+                                             imgs[i].shape[:2])
         total = time.perf_counter() - t0
         times = {
             "inference_ms": t_infer / max(len(imgs), 1) * 1000,

@@ -91,9 +91,12 @@ def _flax_to_torch_key(path: List[str]) -> Optional[str]:
             rest = re.sub(r"^m(\d+)", r"bottlenecks.\1", rest)
             rest = rest.replace("/", ".")
             return f"{tpre}.{rest}" if rest else tpre
-    m = re.match(r"head/pred(\d+)/(.+)", joined)
+    # head preds: the leaf's parent path is exactly head/pred{i} (a bare Conv),
+    # with an optional deeper remainder for container variants
+    m = re.match(r"head/pred(\d+)(?:/(.+))?$", joined)
     if m:
-        return f"detection_head.detection_layers.{m.group(1)}.{m.group(2)}"
+        base = f"detection_head.detection_layers.{m.group(1)}"
+        return f"{base}.{m.group(2).replace('/', '.')}" if m.group(2) else base
     return None
 
 

@@ -69,6 +69,7 @@ def validate(
     iou_thres: float = 0.6,
     max_det: int = 300,
     task: str = "val",
+    rect: bool = False,
     half: bool = False,
     save_txt: bool = False,
     save_conf: bool = False,
@@ -108,29 +109,44 @@ def validate(
 
     if dataloader is None:
         split = getattr(data_cfg, task) or data_cfg.val
+        # rect protocol (reference validate.py:213-222): aspect-ratio-sorted batches
+        # letterboxed to per-batch shapes, pad 0.5 — bucketed to <= 8 distinct
+        # shapes so the whole eval costs a bounded number of jit compiles
         dataloader, _ = create_dataloader(
             split, img_size=img_size, batch_size=batch_size, stride=stride,
-            augment=False, rect=False, pad=0.5, workers=4, shuffle=False,
+            augment=False, rect=rect, pad=0.5 if rect else 0.0, workers=4,
+            shuffle=False, shape_buckets=8,
         )
 
     iouv = np.linspace(0.5, 0.95, 10)
     anchors = jnp.asarray(config.anchors)
 
-    @jax.jit
+    _fwd_cache = {}
+
     def forward_batch(images):
-        x = images.astype(dtype) / 255.0
-        outs = module.apply(variables, x, train=False)
-        dec = decode_predictions(outs, anchors, (img_size, img_size))
-        det, n = jax.vmap(
-            partial(
-                _nms_single_impl,
-                conf_thres=conf_thres, iou_thres=iou_thres,
-                multi_label=nc > 1, agnostic=False,
-                max_det=max_det, max_nms=max_nms,
-            )
-        )(dec)
-        raw = outs if compute_loss is not None else None
-        return det, n, raw
+        """Per-(H, W) compiled forward+decode+NMS — rect eval draws from the
+        bucketed shape set, so the cache stays <= shape_buckets entries."""
+        hw = tuple(int(s) for s in images.shape[1:3])
+        if hw not in _fwd_cache:
+
+            @jax.jit
+            def _run(images):
+                x = images.astype(dtype) / 255.0
+                outs = module.apply(variables, x, train=False)
+                dec = decode_predictions(outs, anchors, hw)
+                det, n = jax.vmap(
+                    partial(
+                        _nms_single_impl,
+                        conf_thres=conf_thres, iou_thres=iou_thres,
+                        multi_label=nc > 1, agnostic=False,
+                        max_det=max_det, max_nms=max_nms,
+                    )
+                )(dec)
+                raw = outs if compute_loss is not None else None
+                return det, n, raw
+
+            _fwd_cache[hw] = _run
+        return _fwd_cache[hw](images)
 
     stats = []
     confusion = ConfusionMatrix(nc=nc) if plots else None
@@ -163,6 +179,7 @@ def validate(
             _, aux = compute_loss(raw, jnp.asarray(flat_t), jnp.asarray(batch["mask"]).reshape(-1))
             loss_sum += np.asarray(aux)
 
+        bh, bw = (int(s) for s in images.shape[1:3])
         n_valid = int(batch.get("n_valid", images.shape[0]))
         for i in range(n_valid):
             seen += 1
@@ -174,17 +191,17 @@ def validate(
             labels = np.zeros((len(t), 5), np.float32)
             if len(t):
                 labels[:, 0] = t[:, 1]
-                labels[:, 1] = (t[:, 2] - t[:, 4] / 2) * img_size
-                labels[:, 2] = (t[:, 3] - t[:, 5] / 2) * img_size
-                labels[:, 3] = (t[:, 2] + t[:, 4] / 2) * img_size
-                labels[:, 4] = (t[:, 3] + t[:, 5] / 2) * img_size
+                labels[:, 1] = (t[:, 2] - t[:, 4] / 2) * bw
+                labels[:, 2] = (t[:, 3] - t[:, 5] / 2) * bh
+                labels[:, 3] = (t[:, 2] + t[:, 4] / 2) * bw
+                labels[:, 4] = (t[:, 3] + t[:, 5] / 2) * bh
 
             correct = process_batch(d, labels, iouv)
             stats.append((correct, d[:, 4], d[:, 5], labels[:, 0]))
             if confusion is not None:
                 confusion.process_batch(d, labels)
             if save_txt:
-                save_one_txt(d, save_conf, (img_size, img_size),
+                save_one_txt(d, save_conf, (bh, bw),
                              save_dir / "labels" / f"im{seen:06d}.txt")
             if save_json:
                 save_one_json(d, jdict, seen, None)
@@ -202,7 +219,8 @@ def validate(
             dets_list = [det[i, : n[i]] for i in range(n_valid)]
             tpl = output_to_target(dets_list)
             if len(tpl):
-                tpl[:, 2:6] /= img_size
+                tpl[:, [2, 4]] /= bw
+                tpl[:, [3, 5]] /= bh
             plot_images(np.asarray(batch["images"]) / 255.0, tpl,
                         fname=save_dir / f"val_batch{bi}_pred.jpg", names=names)
 
@@ -277,6 +295,9 @@ def parse_opt():
     p.add_argument("--iou-thres", type=float, default=0.6)
     p.add_argument("--max-det", type=int, default=300)
     p.add_argument("--task", default="val", choices=["val", "test", "train"])
+    p.add_argument("--rect", action="store_true",
+                   help="aspect-ratio-bucketed rect eval, pad 0.5 "
+                        "(reference protocol, validate.py:213-222)")
     p.add_argument("--half", action="store_true", help="bfloat16 inference")
     p.add_argument("--save-txt", action="store_true")
     p.add_argument("--save-conf", action="store_true")

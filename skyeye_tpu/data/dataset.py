@@ -143,6 +143,7 @@ class AerialDataset:
         cache_images: bool = False,
         max_labels: int = 300,
         seed: int = 0,
+        shape_buckets: Optional[int] = None,
     ):
         self.img_size = img_size
         self.augment = augment
@@ -152,6 +153,7 @@ class AerialDataset:
         self.rect = rect and not augment
         self.stride = stride
         self.pad = pad
+        self.shape_buckets = shape_buckets
         self.max_labels = max_labels
         self.mosaic = augment and self.hyp.get("mosaic", 0) > 0
         self.mosaic_border = (-img_size // 2, -img_size // 2)
@@ -255,6 +257,17 @@ class AerialDataset:
             np.ceil(np.array(shapes) * self.img_size / self.stride + self.pad).astype(int)
             * self.stride
         )
+        if self.shape_buckets:
+            # XLA-friendly rect eval: every distinct batch shape is one jit compile
+            # (minutes each through a remote-compile tunnel), so cap the distinct
+            # shape count by rounding shapes UP (pad-only — never crops content) on
+            # a progressively coarser stride grid until <= shape_buckets remain.
+            q = self.stride
+            quant = self.batch_shapes
+            while len({tuple(s) for s in quant.tolist()}) > self.shape_buckets:
+                q *= 2
+                quant = (np.ceil(self.batch_shapes / q) * q).astype(int)
+            self.batch_shapes = quant
 
     # -- image IO ---------------------------------------------------------------
 
@@ -558,13 +571,14 @@ def create_dataloader(
     cache_images: bool = False,
     max_labels: int = 300,
     seed: int = 0,
+    shape_buckets: Optional[int] = None,
 ) -> Tuple[BatchLoader, AerialDataset]:
     """Build (loader, dataset) — signature convention of reference
     create_dataloader (dataset.py:418-469)."""
     dataset = AerialDataset(
         path, img_size=img_size, batch_size=batch_size, augment=augment, hyp=hyp,
         rect=rect, stride=stride, pad=pad, cache_images=cache_images,
-        max_labels=max_labels, seed=seed,
+        max_labels=max_labels, seed=seed, shape_buckets=shape_buckets,
     )
     loader = BatchLoader(
         dataset, batch_size=batch_size,

@@ -44,6 +44,11 @@ class CSPDarknet(nn.Module):
     depth_multiple: float = 1.0
     width_multiple: float = 1.0
     dtype: Any = jnp.float32
+    # Serving-path input layout: take a 4x4 space-to-depth packed image
+    # (B, H/4, W/4, 48) — or pack a raw (B, H, W, 3) one on device — and run the
+    # first two convs in the s2d domain at full 128-lane utilization
+    # (ops/packed_stem.py; exact weight remap via pack_stem_variables).
+    packed_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
@@ -55,8 +60,17 @@ class CSPDarknet(nn.Module):
         c5 = scaled_channels(self.base_channels * 16, w)
 
         # Stage 1 (/4): Focus -> conv/2 -> CSP(3d)
-        x = FocusBlock(c1, kernel_size=3, dtype=self.dtype, name="stem")(x, train)
-        x = ConvBlock(c2, 3, stride=2, dtype=self.dtype, name="down1")(x, train)
+        if self.packed_stem:
+            from ..ops.packed_stem import s2d4_device
+
+            if x.shape[-1] == 3:  # raw image: pack on device (host pack preferred)
+                x = s2d4_device(x)
+            x = ConvBlock(4 * c1, 3, stride=1, dtype=self.dtype, name="stem")(x, train)
+            x = ConvBlock(c2, 2, stride=1, padding=((1, 0), (1, 0)),
+                          dtype=self.dtype, name="down1")(x, train)
+        else:
+            x = FocusBlock(c1, kernel_size=3, dtype=self.dtype, name="stem")(x, train)
+            x = ConvBlock(c2, 3, stride=2, dtype=self.dtype, name="down1")(x, train)
         x = CSPBlock(c2, scaled_depth(3, d), dtype=self.dtype, name="csp1")(x, train)
 
         # Stage 2 (/8) -> P3

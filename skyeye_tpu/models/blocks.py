@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 # Matches the reference init scheme: normal(0, sqrt(2 / (kh*kw*out_ch)))
@@ -43,16 +44,19 @@ class ConvBlock(nn.Module):
     # blocks.py:32): eps=1e-5; torch momentum 0.1 == flax momentum 0.9
     bn_eps: float = 1e-5
     bn_momentum: float = 0.9
+    # explicit padding override ((top, bottom), (left, right)); None = torch k//2
+    padding: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         k = self.kernel_size
         p = k // 2
+        x = _spatial_guard(x)
         x = nn.Conv(
             self.out_channels,
             (k, k),
             strides=(self.stride, self.stride),
-            padding=((p, p), (p, p)),
+            padding=self.padding if self.padding is not None else ((p, p), (p, p)),
             feature_group_count=self.groups,
             use_bias=False,
             dtype=self.dtype,
@@ -139,6 +143,53 @@ class CSPBlock(nn.Module):
         return ConvBlock(self.out_channels, 1, 1, dtype=self.dtype, name="cv3")(y, train)
 
 
+def _spatial_guard(x, min_rows_per_shard: int = 4):
+    """Gather image rows off the mesh "spatial" axis once maps get too short.
+
+    GSPMD's windowed-op partitioning produces wrong gradients when a spatial
+    shard holds ~1 row at wide channel counts (measured: 3x3 conv stacks at
+    64ch/1-row shards diverge ~60%+ on an 8-device CPU mesh, jax 0.9.0), and at
+    that size halo exchange costs more than the compute anyway. Deep stages
+    (P5 at /32) therefore run spatially gathered; high-res stages — where the
+    FLOPs are — keep the spatial parallelism.
+    """
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is not None and "spatial" in mesh.axis_names:
+        n_sp = mesh.shape["spatial"]
+        if n_sp > 1 and x.shape[1] // n_sp < min_rows_per_shard:
+            from jax.sharding import PartitionSpec as P
+
+            return jax.lax.with_sharding_constraint(x, P("data"))
+    return x
+
+
+def _unshard_spatial(x):
+    """Gather image rows off the mesh "spatial" axis (no-op otherwise).
+
+    XLA's select-and-scatter — the backward of stride-1 max_pool — produces
+    wrong input gradients when its window-crossing operand is sharded over a
+    mesh axis (measured ~90%% error on an 8-device CPU mesh, jax 0.9.0), so the
+    SPP pools must run on spatially-contiguous data. SPP sits on P5 (H/32),
+    the smallest map in the network, so the gather is cheap.
+    """
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is not None and "spatial" in mesh.axis_names:
+        from jax.sharding import PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(x, P("data"))
+    return x
+
+
+def _reshard_spatial(x):
+    """Inverse of _unshard_spatial: put rows back on the "spatial" axis."""
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is not None and "spatial" in mesh.axis_names:
+        from jax.sharding import PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(x, P("data", "spatial"))
+    return x
+
+
 class SPPBlock(nn.Module):
     """Spatial pyramid pooling: maxpool k in kernel_sizes at stride 1, concat."""
 
@@ -151,6 +202,7 @@ class SPPBlock(nn.Module):
         in_ch = x.shape[-1]
         hidden = in_ch // 2
         x = ConvBlock(hidden, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        x = _unshard_spatial(x)
         pools = [x]
         for k in self.kernel_sizes:
             p = k // 2
@@ -162,8 +214,12 @@ class SPPBlock(nn.Module):
                     padding=((p, p), (p, p)),
                 )
             )
-        y = jnp.concatenate(pools, axis=-1)
-        return ConvBlock(self.out_channels, 1, 1, dtype=self.dtype, name="cv2")(y, train)
+        # pin the concat too: its backward re-constrains the cotangent entering
+        # the pool backward (select-and-scatter) to the gathered layout — the
+        # trailing reshard alone would hand it a spatially-sharded cotangent
+        y = _unshard_spatial(jnp.concatenate(pools, axis=-1))
+        y = ConvBlock(self.out_channels, 1, 1, dtype=self.dtype, name="cv2")(y, train)
+        return _reshard_spatial(y)
 
 
 def space_to_depth_2x2(x):

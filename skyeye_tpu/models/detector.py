@@ -33,6 +33,9 @@ class SkyEyeDetectorModule(nn.Module):
 
     config: ModelConfig
     dtype: Any = jnp.float32
+    # serving-path s2d-packed first stage (ops/packed_stem.py); use with variables
+    # transformed by pack_stem_variables — numerically exact, ~2x faster stage 1
+    packed_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
@@ -42,6 +45,7 @@ class SkyEyeDetectorModule(nn.Module):
             depth_multiple=cfg.depth_multiple,
             width_multiple=cfg.width_multiple,
             dtype=self.dtype,
+            packed_stem=self.packed_stem,
             name="backbone",
         )(x, train)
 

@@ -288,3 +288,86 @@ def test_api_mixed_shapes_batching(trained, synth_root):
         if len(d):
             assert (d[:, 0] >= 0).all() and (d[:, 2] <= im.shape[1] + 1e-3).all()
             assert (d[:, 1] >= 0).all() and (d[:, 3] <= im.shape[0] + 1e-3).all()
+
+
+@pytest.fixture(scope="module")
+def mixed_aspect_root(tmp_path_factory):
+    """Val-only dataset with varied aspect ratios (landscape/portrait/square)."""
+    root = tmp_path_factory.mktemp("rectds")
+    img_dir = root / "images" / "val"
+    lbl_dir = root / "labels" / "val"
+    img_dir.mkdir(parents=True)
+    lbl_dir.mkdir(parents=True)
+    rng = np.random.default_rng(7)
+    shapes = [(256, 256), (180, 320), (320, 180), (200, 400), (400, 200),
+              (256, 256), (144, 320), (320, 144)]
+    for i, (h, w) in enumerate(shapes):
+        img = np.full((h, w, 3), 30, np.uint8)
+        bw, bh = int(rng.integers(30, 60)), int(rng.integers(30, 60))
+        x1 = int(rng.integers(2, w - bw - 2))
+        y1 = int(rng.integers(2, h - bh - 2))
+        cls = int(rng.integers(0, 2))
+        color = (250, 60, 60) if cls == 0 else (60, 250, 60)
+        cv2.rectangle(img, (x1, y1), (x1 + bw, y1 + bh), color, -1)
+        cv2.imwrite(str(img_dir / f"v{i:03d}.jpg"), img)
+        (lbl_dir / f"v{i:03d}.txt").write_text(
+            f"{cls} {(x1 + bw / 2) / w:.6f} {(y1 + bh / 2) / h:.6f} "
+            f"{bw / w:.6f} {bh / h:.6f}"
+        )
+    data_yaml = root / "data.yaml"
+    data_yaml.write_text(yaml.safe_dump({
+        "path": str(root), "train": "images/val", "val": "images/val",
+        "nc": 2, "names": ["red", "green"],
+    }))
+    return root
+
+
+def test_rect_shape_buckets(mixed_aspect_root):
+    """Rect batching with shape_buckets caps distinct batch shapes; every
+    bucketed shape covers (>=) its exact rect shape and stays stride-aligned."""
+    from skyeye_tpu.data.dataset import AerialDataset
+
+    exact = AerialDataset(str(mixed_aspect_root / "images" / "val"), img_size=128,
+                          batch_size=2, rect=True, stride=32, pad=0.5)
+    bucketed = AerialDataset(str(mixed_aspect_root / "images" / "val"), img_size=128,
+                             batch_size=2, rect=True, stride=32, pad=0.5,
+                             shape_buckets=2)
+    distinct = {tuple(s) for s in bucketed.batch_shapes.tolist()}
+    assert len(distinct) <= 2
+    assert (bucketed.batch_shapes >= exact.batch_shapes).all()
+    assert (np.asarray(list(distinct)) % 32 == 0).all()
+
+
+def test_validate_rect(trained, mixed_aspect_root, tmp_path):
+    """Rect eval (reference protocol pad 0.5) on mixed-aspect data: bounded
+    compiles, finite mAP, and batches letterboxed to non-square shapes."""
+    from skyeye_tpu.cli.validate import validate
+
+    results, maps, _ = validate(
+        data=str(mixed_aspect_root / "data.yaml"),
+        weights=str(trained / "weights" / "last"),
+        batch_size=2,
+        img_size=128,
+        rect=True,
+        project=str(tmp_path),
+        name="rectval",
+        plots=False,
+    )
+    mp, mr, map50, map_ = results[:4]
+    assert np.isfinite([mp, mr, map50, map_]).all()
+    assert 0 <= map50 <= 1
+
+
+def test_validate_rect_matches_square_on_square_data(trained, synth_root, tmp_path):
+    """On all-square data the rect protocol reduces to square eval (same letterbox
+    geometry up to the pad-0.5 margin): mAP50 must agree closely."""
+    from skyeye_tpu.cli.validate import validate
+
+    common = dict(
+        data=str(synth_root / "data.yaml"),
+        weights=str(trained / "weights" / "last"),
+        batch_size=4, img_size=128, project=str(tmp_path), plots=False,
+    )
+    r_sq, _, _ = validate(name="sq", **common)
+    r_rect, _, _ = validate(name="rect", rect=True, **common)
+    assert abs(r_sq[2] - r_rect[2]) < 0.05, (r_sq[2], r_rect[2])

@@ -221,3 +221,63 @@ def test_evolve_mutation_and_loop(tmp_path):
     assert best["lr0"] >= hyp["lr0"]
     assert (tmp_path / "evolve.csv").exists()
     assert len(calls) == 12
+
+
+def test_train_step_spatial_mesh_matches_unsharded():
+    """Full train step under a (data=4, spatial=2) mesh — images sharded over BOTH
+    batch and image rows — must match the single-device step numerically (GSPMD
+    conv halo exchange + synced-BN over sharded spatial rows; VERDICT.md #6)."""
+    assert len(jax.devices()) == 8
+    from skyeye_tpu.parallel import shard_batch
+
+    mesh = create_mesh(n_spatial=2)
+    assert mesh.shape == {"data": 4, "spatial": 2}
+    cfg, module, variables = tiny_model()
+    loss_fn = ComputeLoss(jnp.asarray(cfg.anchors), cfg.nc)
+    tx = build_optimizer(lambda s: 0.05, DEFAULT_HYP, variables["params"],
+                         batch_size=64)
+    state = create_train_state(variables, tx)
+    step_fn = make_train_step(module, loss_fn, tx)
+
+    batch = make_batch(B=8)
+    sharded = shard_batch(mesh, dict(batch), spatial=True)
+    assert sharded["images"].sharding.spec[:2] == ("data", "spatial")
+    with jax.set_mesh(mesh):
+        state_sp, metrics_sp = jax.jit(step_fn)(
+            jax.device_put(state, replicated(mesh)), sharded
+        )
+
+    state_sd, metrics_sd = jax.jit(step_fn)(
+        jax.device_put(state, jax.devices()[0]),
+        jax.tree_util.tree_map(lambda x: jax.device_put(x, jax.devices()[0]), batch),
+    )
+    np.testing.assert_allclose(
+        float(metrics_sp["loss"]), float(metrics_sd["loss"]), rtol=2e-4
+    )
+    # parameters after the update must agree too (grad psum over both axes)
+    flat_sp = jax.tree_util.tree_leaves(state_sp.params)
+    flat_sd = jax.tree_util.tree_leaves(state_sd.params)
+    # reduction-order float noise passes through the optimizer update; anything
+    # structurally wrong shows up orders of magnitude above this
+    for a, b in zip(flat_sp, flat_sd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4)
+
+
+def test_initialize_distributed_plumbing(monkeypatch):
+    """Single-process: no-op. Multi-process args: forwarded verbatim to
+    jax.distributed.initialize (VERDICT.md #6 — never exercised before)."""
+    from skyeye_tpu.parallel import mesh as mesh_mod
+
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda **kw: calls.append(kw),
+    )
+    mesh_mod.initialize_distributed()  # single-process: must not call
+    assert calls == []
+    mesh_mod.initialize_distributed(
+        coordinator_address="10.0.0.1:8476", num_processes=4, process_id=2
+    )
+    assert calls == [{"coordinator_address": "10.0.0.1:8476",
+                      "num_processes": 4, "process_id": 2}]

@@ -1,0 +1,191 @@
+"""Repaired-reference execution harness (torch side of the mAP parity proof).
+
+The shipped reference cannot run as-is (SURVEY.md §8): the backbone reports
+wrong channel counts, weight init crashes on bias-free Linears, and
+`utils/metrics.py` uses `torchvision` without importing it. This module loads
+the reference sources from /root/reference VERBATIM and applies only those
+minimal repairs, so the torch numbers in the parity table come from the
+reference's own model/NMS/AP code, not from a reimplementation.
+
+Repairs applied (each cited):
+  R1 channel report (reference backbone.py:139-143 vs actual :40-42,99)
+  R2 `m.bias.data` on bias=None Linear in init (reference detector.py:326-341)
+  R3 missing `import torchvision` in metrics NMS (reference metrics.py:442)
+  R4 `pkg_resources` was removed from setuptools>=81; reference general.py:16
+     imports it at module scope — provide a minimal stand-in so the module loads
+"""
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+from pathlib import Path
+
+REF = Path("/root/reference/skyeye")
+
+
+def _ensure_pkg_resources():  # R4
+    try:
+        import pkg_resources  # noqa: F401
+    except ImportError:
+        from packaging.requirements import Requirement
+        from packaging.version import Version
+
+        stub = types.ModuleType("pkg_resources")
+        stub.parse_version = Version
+        stub.parse_requirements = lambda f: [Requirement(line) for line in f
+                                             if line.strip() and not line.startswith("#")]
+        stub.require = lambda *a, **k: []
+        stub.VersionConflict = type("VersionConflict", (Exception,), {})
+        stub.DistributionNotFound = type("DistributionNotFound", (Exception,), {})
+        sys.modules["pkg_resources"] = stub
+
+
+def _load_pkg(name: str, subdir: str, modules: list) -> dict:
+    """Import reference modules under a standalone shim package."""
+    _ensure_pkg_resources()
+    pkg = types.ModuleType(name)
+    pkg.__path__ = [str(REF / subdir)]
+    sys.modules[name] = pkg
+    out = {}
+    for mod_name in modules:
+        spec = importlib.util.spec_from_file_location(
+            f"{name}.{mod_name}", REF / subdir / f"{mod_name}.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"{name}.{mod_name}"] = mod
+        spec.loader.exec_module(mod)
+        out[mod_name] = mod
+    return out
+
+
+_model_mods = None
+_metric_mods = None
+
+
+def ref_model_modules() -> dict:
+    global _model_mods
+    if _model_mods is None:
+        _model_mods = _load_pkg("refmodels", "core/models",
+                                ["blocks", "attention", "backbone", "detector"])
+    return _model_mods
+
+
+def ref_metrics_module():
+    """Reference utils.metrics with the R3 torchvision repair."""
+    global _metric_mods
+    if _metric_mods is None:
+        _metric_mods = _load_pkg("refutils", "utils", ["general", "metrics"])
+        import torchvision
+
+        _metric_mods["metrics"].torchvision = torchvision  # R3
+    return _metric_mods["metrics"]
+
+
+def build_repaired_model(cfg: dict):
+    """Reference SkyEyeDetector with repairs R1+R2; eval mode."""
+    import torch
+
+    mods = ref_model_modules()
+    backbone_mod, detector_mod = mods["backbone"], mods["detector"]
+
+    class FixedBackbone(backbone_mod.SkyEyeBackbone):  # R1
+        def __init__(self, base_channels=64, depth_multiple=1.0, width_multiple=1.0):
+            super().__init__(base_channels, depth_multiple, width_multiple)
+
+            def sc(x):
+                return max(round(x * width_multiple), 1)
+
+            self.channels = [
+                sc(base_channels * 4), sc(base_channels * 8), sc(base_channels * 16)
+            ]
+
+    detector_mod.SkyEyeBackbone = FixedBackbone
+
+    def safe_init(self):  # R2
+        for m in self.modules():
+            if isinstance(m, torch.nn.Conv2d):
+                n = m.kernel_size[0] * m.kernel_size[1] * m.out_channels
+                m.weight.data.normal_(0, (2.0 / n) ** 0.5)
+                if m.bias is not None:
+                    m.bias.data.zero_()
+            elif isinstance(m, torch.nn.BatchNorm2d):
+                m.weight.data.fill_(1)
+                m.bias.data.zero_()
+            elif isinstance(m, torch.nn.Linear):
+                m.weight.data.normal_(0, 0.01)
+                if m.bias is not None:
+                    m.bias.data.zero_()
+
+    detector_mod.SkyEyeDetector._initialize_weights = safe_init
+    model = detector_mod.SkyEyeDetector(cfg, 3)
+    model.eval()
+    return model
+
+
+def ref_validate(model, loader, nc: int, conf_thres: float = 0.001,
+                 iou_thres: float = 0.6, max_det: int = 300):
+    """Reference-protocol validation loop (reference validate.py:202-311, the
+    truncated tail reconstructed per YOLOv5 convention): torch model forward ->
+    reference non_max_suppression -> IoU matching at iouv 0.5:0.95 -> reference
+    ap_per_class. Batches come from the caller's loader (identical letterboxed
+    pixels to the JAX side), so the comparison isolates model+NMS+AP protocol.
+
+    Returns (mp, mr, map50, map).
+    """
+    import numpy as np
+    import torch
+
+    metrics = ref_metrics_module()
+    iouv = torch.linspace(0.5, 0.95, 10)
+    stats = []
+
+    def process_batch(detections, labels):
+        """IoU matching with greedy dedup (reference validate.py:71-108 protocol)."""
+        correct = np.zeros((detections.shape[0], iouv.numel()), bool)
+        iou = metrics.box_iou(labels[:, 1:], detections[:, :4])
+        correct_class = labels[:, 0:1] == detections[:, 5]
+        for i in range(iouv.numel()):
+            x = torch.where((iou >= iouv[i]) & correct_class)
+            if x[0].shape[0]:
+                m = torch.cat((torch.stack(x, 1), iou[x[0], x[1]][:, None]), 1).numpy()
+                if x[0].shape[0] > 1:
+                    m = m[m[:, 2].argsort()[::-1]]
+                    m = m[np.unique(m[:, 1], return_index=True)[1]]
+                    m = m[np.unique(m[:, 0], return_index=True)[1]]
+                correct[m[:, 1].astype(int), i] = True
+        return torch.tensor(correct)
+
+    with torch.no_grad():
+        for batch in loader:
+            imgs = torch.from_numpy(
+                np.ascontiguousarray(batch["images"].transpose(0, 3, 1, 2))
+            ).float() / 255.0
+            dec, _ = model(imgs)
+            preds = metrics.non_max_suppression(
+                dec, conf_threshold=conf_thres, iou_threshold=iou_thres,
+                multi_label=nc > 1, max_detections=max_det,
+            )
+            h, w = imgs.shape[2:]
+            n_valid = int(batch.get("n_valid", imgs.shape[0]))
+            for i in range(n_valid):
+                pred = preds[i]
+                t = batch["targets"][i][batch["mask"][i]]
+                labels = torch.zeros((len(t), 5))
+                if len(t):
+                    tt = torch.from_numpy(np.asarray(t, np.float32))
+                    labels[:, 0] = tt[:, 1]
+                    labels[:, 1] = (tt[:, 2] - tt[:, 4] / 2) * w
+                    labels[:, 2] = (tt[:, 3] - tt[:, 5] / 2) * h
+                    labels[:, 3] = (tt[:, 2] + tt[:, 4] / 2) * w
+                    labels[:, 4] = (tt[:, 3] + tt[:, 5] / 2) * h
+                correct = (process_batch(pred, labels) if len(pred) else
+                           torch.zeros((0, iouv.numel()), dtype=torch.bool))
+                stats.append((correct, pred[:, 4], pred[:, 5], labels[:, 0]))
+
+    stats = [torch.cat([s[k] for s in stats], 0).numpy() for k in range(4)]
+    if stats[0].size and stats[3].size:
+        # reference return convention: (precision, recall, ap, f1, classes)
+        p, r, ap, f1, _ = metrics.ap_per_class(*stats, plot=False)
+        return p.mean(), r.mean(), ap[:, 0].mean(), ap.mean()
+    return 0.0, 0.0, 0.0, 0.0
