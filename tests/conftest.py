@@ -18,6 +18,7 @@ jax.config.update("jax_num_cpu_devices", 8)
 _MODULE_MARKS = {
     "test_e2e": ("e2e", "slow"),
     "test_torch_parity": ("torch", "slow"),
+    "test_map_parity": ("torch", "slow"),
     "test_loss_parity": ("torch",),
     "test_train": ("slow",),
     "test_device_aug": ("slow",),

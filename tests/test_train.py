@@ -176,12 +176,15 @@ def test_train_step_with_device_augmentation():
     batch = make_batch(B=4)
     batch["aug_key"] = jax.random.PRNGKey(0)
     losses = []
-    for i in range(5):
+    for i in range(32):
         batch["aug_key"] = jax.random.PRNGKey(i)
         state, metrics = step(state, batch)
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
-    assert int(state.step) == 5
+    assert int(state.step) == 32
+    # training through the augmented pipeline must LEARN, not just run
+    # (VERDICT.md #5): compare first-5 vs last-5 mean loss
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
 
 
 def test_optimizer_warmup_groups():

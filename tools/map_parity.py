@@ -97,9 +97,15 @@ def main():
     export_torch(module, variables, pt_path)
     sd = torch.load(pt_path, map_location="cpu", weights_only=False)["state_dict"]
 
+    # anchors: the reference decode computes anchor_grid = anchors * stride
+    # (reference detector.py:118-121), i.e. it expects GRID-UNIT anchors — its
+    # hardcoded pixel-unit default (detector.py:39-43) double-scales (a §8-class
+    # bug). Passing our stride-normalized anchors gives both models identical,
+    # correct decode semantics.
     ref_cfg = {"nc": cfg.nc, "base_channels": cfg.base_channels,
                "depth_multiple": cfg.depth_multiple,
-               "width_multiple": cfg.width_multiple}
+               "width_multiple": cfg.width_multiple,
+               "anchors": [[list(a) for a in level] for level in cfg.anchors]}
     ref_model = build_repaired_model(ref_cfg)
     missing, unexpected = ref_model.load_state_dict(sd, strict=False)
     # num_batches_tracked buffers are absent from the flax side by design

@@ -13,6 +13,16 @@ Repairs applied (each cited):
   R3 missing `import torchvision` in metrics NMS (reference metrics.py:442)
   R4 `pkg_resources` was removed from setuptools>=81; reference general.py:16
      imports it at module scope — provide a minimal stand-in so the module loads
+  R5 torchvision is not installed in this environment; `torchvision.ops.nms`
+     (the only symbol the reference uses) is provided as a faithful pure-torch
+     greedy NMS with identical semantics (score-descending, IoU > thresh
+     suppression, returns kept indices in score order)
+  R6 the reference non_max_suppression (metrics.py:361-457) omits two steps of
+     the YOLOv5 protocol it transcribes: the xywh->xyxy conversion of decoded
+     boxes and the obj*cls confidence product — it feeds center-format boxes
+     straight into torchvision.ops.nms. Both are applied BEFORE calling the
+     reference NMS (SURVEY.md §0: declared behavior + YOLOv5 convention is the
+     spec for broken parts)
 """
 from __future__ import annotations
 
@@ -71,14 +81,46 @@ def ref_model_modules() -> dict:
     return _model_mods
 
 
+def _torchvision_shim():  # R5
+    try:
+        import torchvision
+
+        return torchvision
+    except ImportError:
+        import torch
+
+        def nms(boxes, scores, iou_threshold):
+            order = scores.argsort(descending=True)
+            keep = []
+            while order.numel():
+                i = order[0]
+                keep.append(i.item())
+                if order.numel() == 1:
+                    break
+                rest = boxes[order[1:]]
+                b = boxes[i]
+                lt = torch.maximum(rest[:, :2], b[:2])
+                rb = torch.minimum(rest[:, 2:], b[2:])
+                wh = (rb - lt).clamp(min=0)
+                inter = wh[:, 0] * wh[:, 1]
+                area_i = (b[2] - b[0]).clamp(min=0) * (b[3] - b[1]).clamp(min=0)
+                area_r = ((rest[:, 2] - rest[:, 0]).clamp(min=0)
+                          * (rest[:, 3] - rest[:, 1]).clamp(min=0))
+                iou = inter / (area_i + area_r - inter + 1e-12)
+                order = order[1:][iou <= iou_threshold]
+            return torch.tensor(keep, dtype=torch.long)
+
+        tv = types.ModuleType("torchvision")
+        tv.ops = types.SimpleNamespace(nms=nms)
+        return tv
+
+
 def ref_metrics_module():
-    """Reference utils.metrics with the R3 torchvision repair."""
+    """Reference utils.metrics with the R3/R5 torchvision repair."""
     global _metric_mods
     if _metric_mods is None:
         _metric_mods = _load_pkg("refutils", "utils", ["general", "metrics"])
-        import torchvision
-
-        _metric_mods["metrics"].torchvision = torchvision  # R3
+        _metric_mods["metrics"].torchvision = _torchvision_shim()  # R3/R5
     return _metric_mods["metrics"]
 
 
@@ -143,7 +185,8 @@ def ref_validate(model, loader, nc: int, conf_thres: float = 0.001,
     def process_batch(detections, labels):
         """IoU matching with greedy dedup (reference validate.py:71-108 protocol)."""
         correct = np.zeros((detections.shape[0], iouv.numel()), bool)
-        iou = metrics.box_iou(labels[:, 1:], detections[:, :4])
+        # reference box_iou signature: box1 is 4xN (transposed), box2 is Mx4
+        iou = metrics.box_iou(labels[:, 1:].T, detections[:, :4])
         correct_class = labels[:, 0:1] == detections[:, 5]
         for i in range(iouv.numel()):
             x = torch.where((iou >= iouv[i]) & correct_class)
@@ -162,10 +205,20 @@ def ref_validate(model, loader, nc: int, conf_thres: float = 0.001,
                 np.ascontiguousarray(batch["images"].transpose(0, 3, 1, 2))
             ).float() / 255.0
             dec, _ = model(imgs)
+            dec = dec.clone()  # R6: xywh->xyxy + obj*cls before reference NMS
+            xy, wh = dec[..., :2].clone(), dec[..., 2:4].clone()
+            dec[..., :2] = xy - wh / 2
+            dec[..., 2:4] = xy + wh / 2
+            dec[..., 5:] = dec[..., 5:] * dec[..., 4:5]
             preds = metrics.non_max_suppression(
                 dec, conf_threshold=conf_thres, iou_threshold=iou_thres,
                 multi_label=nc > 1, max_detections=max_det,
             )
+            # the reference NMS emits 7 columns [xyxy, obj, conf, cls]
+            # (metrics.py:413 cat of x[:,:5], conf, cls — its (n,6) docstring is
+            # wrong); drop the obj column to get the standard [xyxy, conf, cls]
+            preds = [torch.cat((p[:, :4], p[:, 5:7]), 1) if p.shape[1] == 7 else p
+                     for p in preds]
             h, w = imgs.shape[2:]
             n_valid = int(batch.get("n_valid", imgs.shape[0]))
             for i in range(n_valid):
