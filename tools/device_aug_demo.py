@@ -1,0 +1,87 @@
+"""Device-aug convergence demo (VERDICT.md #5): --device-aug vs host aug.
+
+Trains the same model/config twice on the same synthetic aerial dataset —
+once with the host augmentation pipeline (cv2 mosaic/affine/HSV in loader
+workers) and once with the fused on-device pipeline (data/device_aug.py,
+mosaic+affine as one gather inside the jitted train step) — then validates
+both and reports final mAP@50 side by side. Convergence parity = the on-device
+redesign is a faithful training-signal replacement, not just runnable.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/device_aug_demo.py \
+           --workdir /tmp/devaug --epochs 150 --img-size 320
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--workdir", type=Path, default=Path("/tmp/devaug"))
+    p.add_argument("--epochs", type=int, default=150)
+    p.add_argument("--img-size", type=int, default=320)
+    p.add_argument("--n-train", type=int, default=96)
+    p.add_argument("--n-val", type=int, default=48)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from synth_aerial import make_dataset
+
+    from skyeye_tpu.cli.train import train
+    from skyeye_tpu.cli.validate import validate
+    from skyeye_tpu.config import ModelConfig
+
+    workdir = args.workdir
+    workdir.mkdir(parents=True, exist_ok=True)
+    data_yaml = workdir / "data" / "data.yaml"
+    if not data_yaml.exists():
+        make_dataset(workdir / "data", n_train=args.n_train, n_val=args.n_val,
+                     square=True, img_size=args.img_size)
+
+    cfg = ModelConfig(nc=8, base_channels=16, depth_multiple=0.33,
+                      width_multiple=1.0)
+    results = {}
+    for mode, device_aug in [("host_aug", False), ("device_aug", True)]:
+        t0 = time.time()
+        _, save_dir = train(
+            cfg=cfg, data=str(data_yaml), epochs=args.epochs,
+            batch_size=args.batch_size, img_size=args.img_size, accumulate=1,
+            project=str(workdir), name=mode, exist_ok=True, workers=4,
+            patience=10_000, max_labels=160, noval=True, device_aug=device_aug,
+        )
+        train_s = time.time() - t0
+        wdir = Path(save_dir) / "weights"
+        weights = max((wdir / n for n in ("best", "last") if (wdir / n).exists()),
+                      key=lambda c: c.stat().st_mtime)
+        r, _, _ = validate(
+            data=str(data_yaml), weights=str(weights),
+            batch_size=args.batch_size, img_size=args.img_size,
+            project=str(workdir), name=f"val_{mode}", exist_ok=True, plots=False,
+        )
+        results[mode] = {"map50": round(float(r[2]), 4),
+                         "map5095": round(float(r[3]), 4),
+                         "train_s": round(train_s, 1)}
+        print(f"{mode}: mAP50 {r[2]:.4f} mAP50-95 {r[3]:.4f} ({train_s:.0f}s)")
+
+    d = abs(results["host_aug"]["map50"] - results["device_aug"]["map50"])
+    results["delta_map50_pt"] = round(d * 100, 2)
+    print(f"Δ mAP50 host vs device aug: {d*100:.2f}pt")
+    (workdir / "device_aug_demo.json").write_text(json.dumps(results, indent=1))
+    print("wrote", workdir / "device_aug_demo.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -72,18 +72,36 @@ def main():
                       depth_multiple=0.33, width_multiple=1.0)
 
     # -- train skyeye_tpu ------------------------------------------------------
-    weights = workdir / "run" / "weights" / "best"
-    if not weights.exists() or not args.skip_train:
+    # prefer the most recent of best/last (noval runs only write last; a stale
+    # best from an earlier aborted run must not shadow a fresh last)
+    cands = [workdir / "run" / "weights" / n for n in ("best", "last")]
+    cands = [c for c in cands if c.exists()]
+    weights = max(cands, key=lambda c: c.stat().st_mtime) if cands else cands
+    if not cands or not args.skip_train:
         from skyeye_tpu.cli.train import train
+
+        # Overfit-friendly hyps: the parity proof needs a model with CONFIDENT
+        # detections on its own val set, not generalization. Focal loss off
+        # (the reference's hardcoded fl_gamma=1.5 slows obj-confidence growth at
+        # this tiny step budget) and mosaic off (96 images is an overfit regime).
+        import yaml as _yaml
+
+        hyp_path = workdir / "hyp_parity.yaml"
+        hyp_path.write_text(_yaml.safe_dump({
+            "fl_gamma": 0.0, "mosaic": 0.0, "mixup": 0.0,
+            "scale": 0.2, "translate": 0.05,
+        }))
 
         t0 = time.time()
         _, save_dir = train(
-            cfg=cfg, data=str(data_yaml), epochs=args.epochs,
+            cfg=cfg, data=str(data_yaml), hyp=str(hyp_path), epochs=args.epochs,
             batch_size=args.batch_size, img_size=args.img_size, accumulate=1,
             project=str(workdir), name="run", exist_ok=True, workers=4,
-            patience=10_000, max_labels=64,
+            patience=10_000, max_labels=160, noval=True,
         )
-        weights = Path(save_dir) / "weights" / "best"
+        wdir = Path(save_dir) / "weights"
+        cands = [wdir / n for n in ("best", "last") if (wdir / n).exists()]
+        weights = max(cands, key=lambda c: c.stat().st_mtime)
         print(f"training done in {time.time()-t0:.0f}s -> {weights}")
 
     # -- reverse-export to torch, strict-load into the repaired reference ------
@@ -133,9 +151,12 @@ def main():
     with torch.no_grad():
         dec_t, _ = ref_model(torch.from_numpy(
             np.ascontiguousarray(x.transpose(0, 3, 1, 2))))
-    outs = module.apply(variables, jnp.asarray(x), train=False)
-    dec_j = decode_predictions(outs, jnp.asarray(cfg.anchors),
-                               (args.img_size, args.img_size))
+    # highest precision: on TPU the default conv path multiplies in bf16, which
+    # is fine for mAP but would make this float32-vs-float32 sanity diff noisy
+    with jax.default_matmul_precision("highest"):
+        outs = module.apply(variables, jnp.asarray(x), train=False)
+        dec_j = decode_predictions(outs, jnp.asarray(cfg.anchors),
+                                   (args.img_size, args.img_size))
     diff = float(np.abs(np.asarray(dec_j) - dec_t.numpy()).max())
     print(f"decoded-output max|Δ| on one val batch: {diff:.2e}")
 

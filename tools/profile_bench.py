@@ -46,7 +46,13 @@ def main():
     from skyeye_tpu.ops.packed_stem import pack_stem_variables, s2d4_host
     from skyeye_tpu.utils.checkpoint import fuse_conv_bn
 
-    cfg = ModelConfig.from_variant(args.variant, nc=10)
+    # e.g. --variant l_transformer engages the flash-attention P5 head path
+    name = args.variant
+    kw = {}
+    if name.endswith("_transformer"):
+        name = name[: -len("_transformer")]
+        kw["transformer_heads"] = True
+    cfg = ModelConfig.from_variant(name, nc=10, **kw)
     module = SkyEyeDetectorModule(config=cfg, dtype=jnp.bfloat16, packed_stem=True)
     canonical = SkyEyeDetectorModule(config=cfg, dtype=jnp.bfloat16)
     variables = canonical.init(

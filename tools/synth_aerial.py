@@ -36,10 +36,10 @@ _SPECS = [
     ((14, 26), (26, 46), (80, 160, 200)),   # van: boxier, tan
     ((16, 30), (40, 80), (60, 180, 80)),    # truck: long, green
     ((18, 32), (50, 100), (40, 200, 220)),  # bus: longest, yellow
-    ((5, 10), (5, 10), (200, 80, 80)),      # person: tiny dot, blue
-    ((4, 9), (9, 18), (220, 60, 160)),      # bicycle: thin sliver, purple
-    ((20, 44), (20, 44), (180, 200, 240)),  # awning: bright square
-    ((24, 56), (24, 56), (90, 90, 90)),     # block: gray square
+    ((6, 12), (6, 12), (200, 80, 80)),      # person: tiny dot, blue
+    ((5, 11), (10, 20), (220, 60, 160)),    # bicycle: thin sliver, purple
+    ((20, 44), (20, 44), (60, 200, 250)),   # awning: orange square
+    ((24, 56), (24, 56), (200, 220, 90)),   # block: cyan square
 ]
 
 
@@ -60,11 +60,15 @@ def _terrain(h: int, w: int, rng: np.random.Generator) -> np.ndarray:
         else:
             x = int(rng.integers(0, w - 30))
             img[:, x : x + int(rng.integers(18, 40))] = rng.uniform(45, 70)
-    # building blocks (distractors — NOT labeled, force the model to use shape+color)
+    # building blocks (distractors — NOT labeled; kept visually distinct from
+    # every labeled class: large, desaturated, darker-bordered)
     for _ in range(rng.integers(2, 7)):
-        bw, bh = int(rng.integers(40, 120)), int(rng.integers(40, 120))
+        bw, bh = int(rng.integers(70, 160)), int(rng.integers(70, 160))
         x, y = int(rng.integers(0, max(w - bw, 1))), int(rng.integers(0, max(h - bh, 1)))
-        img[y : y + bh, x : x + bw] = rng.uniform(100, 150, 3)
+        shade = rng.uniform(95, 125)
+        img[y : y + bh, x : x + bw] = shade + rng.uniform(-6, 6, 3)
+        img[y : y + 4, x : x + bw] = shade * 0.6
+        img[y : y + bh, x : x + 4] = shade * 0.6
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
