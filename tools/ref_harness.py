@@ -23,6 +23,13 @@ Repairs applied (each cited):
      straight into torchvision.ops.nms. Both are applied BEFORE calling the
      reference NMS (SURVEY.md §0: declared behavior + YOLOv5 convention is the
      spec for broken parts)
+  R7 the reference NMS builds 7-column rows [xyxy, obj, conf, cls] but then
+     sorts, suppresses, and truncates to max_detections by column 4
+     (metrics.py:435,439 `scores = x[:, 4]`) — the OBJ column, where the
+     YOLOv5 protocol it transcribes has the combined confidence (its own
+     rows keep that in column 5). At eval thresholds the 300-detection cap
+     then keeps obj-ranked junk over confident true positives (measured: 38pt
+     mAP50 under-report on a converged model). Repair: rank by column 5
 """
 from __future__ import annotations
 
@@ -51,20 +58,27 @@ def _ensure_pkg_resources():  # R4
         sys.modules["pkg_resources"] = stub
 
 
-def _load_pkg(name: str, subdir: str, modules: list) -> dict:
-    """Import reference modules under a standalone shim package."""
+def _load_pkg(name: str, subdir: str, modules: list, patches=None) -> dict:
+    """Import reference modules under a standalone shim package.
+
+    patches: {module_name: [(old_source, new_source), ...]} — minimal targeted
+    source repairs applied before exec (each documented in the header).
+    """
     _ensure_pkg_resources()
     pkg = types.ModuleType(name)
     pkg.__path__ = [str(REF / subdir)]
     sys.modules[name] = pkg
     out = {}
     for mod_name in modules:
-        spec = importlib.util.spec_from_file_location(
-            f"{name}.{mod_name}", REF / subdir / f"{mod_name}.py"
-        )
+        path = REF / subdir / f"{mod_name}.py"
+        src = path.read_text()
+        for old, new in (patches or {}).get(mod_name, []):
+            assert old in src, f"patch target not found in {path}: {old!r}"
+            src = src.replace(old, new)
+        spec = importlib.util.spec_from_file_location(f"{name}.{mod_name}", path)
         mod = importlib.util.module_from_spec(spec)
         sys.modules[f"{name}.{mod_name}"] = mod
-        spec.loader.exec_module(mod)
+        exec(compile(src, str(path), "exec"), mod.__dict__)
         out[mod_name] = mod
     return out
 
@@ -116,10 +130,28 @@ def _torchvision_shim():  # R5
 
 
 def ref_metrics_module():
-    """Reference utils.metrics with the R3/R5 torchvision repair."""
+    """Reference utils.metrics with the R3/R5/R8 repairs."""
     global _metric_mods
     if _metric_mods is None:
-        _metric_mods = _load_pkg("refutils", "utils", ["general", "metrics"])
+        _metric_mods = _load_pkg(
+            "refutils", "utils", ["general", "metrics"],
+            patches={"metrics": [
+                # R8: the NMS class-offset trick reads the CLASS from column 5,
+                # but this NMS's own rows are 7-column [xyxy, obj, conf, cls] —
+                # column 5 is the confidence, so same-class overlaps get
+                # different offsets and are never suppressed (measured: floods
+                # output with duplicates, -37pt mAP50 on a converged model).
+                # The class lives in column 6.
+                ("c = x[:, 5:6] * (0 if agnostic else max_wh)",
+                 "c = x[:, 6:7] * (0 if agnostic else max_wh)"),
+                # R7: rank/suppress/truncate by the per-row combined confidence
+                # (column 5 of its 7-column rows), not the obj column
+                ("x = x[x[:, 4].argsort(descending=True)[:max_nms_boxes]]",
+                 "x = x[x[:, 5].argsort(descending=True)[:max_nms_boxes]]"),
+                ("boxes, scores = x[:, :4] + c, x[:, 4]",
+                 "boxes, scores = x[:, :4] + c, x[:, 5]"),
+            ]},
+        )
         _metric_mods["metrics"].torchvision = _torchvision_shim()  # R3/R5
     return _metric_mods["metrics"]
 
