@@ -41,7 +41,10 @@ def measure_tpu() -> dict:
 
     cfg = ModelConfig.from_variant(VARIANT, nc=NC)
     # serving form: BN folded into conv kernels + s2d-packed first stage (exact
-    # weight remaps; equivalence asserted by tests/test_packed_stem.py)
+    # weight remaps; equivalence asserted by tests/test_packed_stem.py).
+    # NOTE: the fused-CSP Pallas kernel (ops/pallas/csp_kernel.py, fused_csp=True)
+    # beats XLA ~6% on csp1 standalone but its resident-image window exceeds the
+    # Mosaic scoped-vmem budget inside this full pipeline — not enabled here.
     module = SkyEyeDetectorModule(config=cfg, dtype=jnp.bfloat16, packed_stem=True)
     canonical = SkyEyeDetectorModule(config=cfg, dtype=jnp.bfloat16)
     variables = canonical.init(
@@ -58,8 +61,12 @@ def measure_tpu() -> dict:
         outs = module.apply(variables, x, train=False)
         dec = decode_predictions(outs, anchors, (IMG, IMG))
         det, n = jax.vmap(
+            # approx_max_k: the exact lax.top_k over ~100k candidate scores was
+            # 38% of pipeline time (sort-bound; profiles/trace_1280); the
+            # TPU-native approximate top-k is the serving-mode candidate cut
             partial(_nms_single_impl, conf_thres=0.25, iou_thres=0.45,
-                    multi_label=False, agnostic=False, max_det=300, max_nms=4096)
+                    multi_label=False, agnostic=False, max_det=300, max_nms=4096,
+                    approx_topk=True)
         )(dec)
         return det, n
 

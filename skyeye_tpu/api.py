@@ -217,7 +217,7 @@ class SkyEyeDetector:
                     _nms_single_impl,
                     conf_thres=conf, iou_thres=iou, multi_label=multi_label,
                     agnostic=agnostic, max_det=max_det,
-                    max_nms=4096,
+                    max_nms=4096, approx_topk=True,
                 )
             )(dec)
             return det, n
@@ -258,6 +258,7 @@ class SkyEyeDetector:
                     _nms_single_impl,
                     conf_thres=conf, iou_thres=iou, multi_label=multi_label,
                     agnostic=agnostic, max_det=max_det, max_nms=4096,
+                    approx_topk=True,
                 )
             )(dec)
             return det, n

@@ -49,6 +49,13 @@ class CSPDarknet(nn.Module):
     # first two convs in the s2d domain at full 128-lane utilization
     # (ops/packed_stem.py; exact weight remap via pack_stem_variables).
     packed_stem: bool = False
+    # Serving-path fused CSP: the stage-1 CSP runs as ONE Pallas kernel (all
+    # intermediates VMEM-resident; the canonical per-conv schedule is HBM-bound
+    # at these shapes — ops/pallas/csp_kernel.py; measured ~6% faster than XLA
+    # on-chip at 320x320x64, while at csp2's 160x160x128 XLA wins, so only csp1
+    # is fused). Use with variables transformed by
+    # ops.fused_csp.fuse_csp_variables (BN-folded first).
+    fused_csp: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
@@ -71,7 +78,13 @@ class CSPDarknet(nn.Module):
         else:
             x = FocusBlock(c1, kernel_size=3, dtype=self.dtype, name="stem")(x, train)
             x = ConvBlock(c2, 3, stride=2, dtype=self.dtype, name="down1")(x, train)
-        x = CSPBlock(c2, scaled_depth(3, d), dtype=self.dtype, name="csp1")(x, train)
+        if self.fused_csp:
+            from ..ops.fused_csp import FusedCSPBlock
+
+            x = FusedCSPBlock(c2, scaled_depth(3, d), dtype=self.dtype,
+                              name="csp1")(x, train)
+        else:
+            x = CSPBlock(c2, scaled_depth(3, d), dtype=self.dtype, name="csp1")(x, train)
 
         # Stage 2 (/8) -> P3
         x = ConvBlock(c3, 3, stride=2, dtype=self.dtype, name="down2")(x, train)

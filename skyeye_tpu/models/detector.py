@@ -36,6 +36,9 @@ class SkyEyeDetectorModule(nn.Module):
     # serving-path s2d-packed first stage (ops/packed_stem.py); use with variables
     # transformed by pack_stem_variables — numerically exact, ~2x faster stage 1
     packed_stem: bool = False
+    # serving-path fused CSP stages 1-2 as Pallas kernels (ops/fused_csp.py);
+    # use with variables transformed by fuse_csp_variables (after fuse_conv_bn)
+    fused_csp: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
@@ -46,6 +49,7 @@ class SkyEyeDetectorModule(nn.Module):
             width_multiple=cfg.width_multiple,
             dtype=self.dtype,
             packed_stem=self.packed_stem,
+            fused_csp=self.fused_csp,
             name="backbone",
         )(x, train)
 

@@ -1,0 +1,175 @@
+"""Pallas TPU kernel: fused CSP block (serving path, BN-folded weights).
+
+Why (profiles/trace_1280 hlo_stats, v5e, skyeye_s @1280 b16): the stage-1 CSP
+convs are the single largest cost in the serving pipeline (~8 ms of a 31 ms
+batch) and every one of them is HBM-BOUND, not compute-bound — at 64/32
+channels the activations use 32-64 of 128 lanes, so XLA's one-HBM-round-trip-
+per-conv schedule wastes most of the memory bandwidth on (B, 320, 320, 64)
+tensors (210 MB each). The reference hits the same structure with cuDNN
+(/root/reference/skyeye/core/models/blocks.py:93-123).
+
+Design (see /opt/skills/guides/pallas_guide.md):
+  * grid = (B, row_tiles): the input image (zero-padded by nb halo rows in HBM,
+    one cheap XLA pad) stays VMEM-resident across a row's tile steps (its block
+    index is constant in the tile dimension); the output is Pallas-blocked per
+    tile. ALL intermediates (cv1 -> bottleneck chain -> bypass -> concat ->
+    cv3) live only in VMEM — per-conv HBM round trips collapse to one read +
+    one write of the block boundary tensors.
+  * every conv is an MXU matmul: 1x1 convs are (R*W, K) @ (K, N) dots; the 3x3
+    is 9 shifted (R*W, h) @ (h, h) dots accumulated in f32.
+  * bottleneck 3x3s chain through nb halo rows per side; halo rows OUTSIDE the
+    image are zero-masked right before each 3x3 — exactly the canonical
+    zero-padding semantics (the 1x1s are row-local, so junk in never-used halo
+    rows cannot leak into kept outputs).
+  * weights arrive BN-FOLDED (utils/checkpoint.py fuse_conv_bn): each conv is
+    kernel @ x + bias -> SiLU. `fuse_csp_variables` (ops/fused_csp.py) builds
+    the flat weight set from canonical folded variables.
+
+Equivalence vs the canonical CSPBlock: tests/test_pallas_kernels.py (interpret
+mode on CPU) and the on-chip bench path.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _silu_f32(v):
+    return v * jax.nn.sigmoid(v)
+
+
+def _mm(t2d, w, b):
+    """(M, K) bf16 @ (K, N) bf16 + b -> f32 (M, N)."""
+    out = jax.lax.dot_general(
+        t2d, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return out + b.astype(jnp.float32)[None, :]
+
+
+def _csp_kernel(x_ref, w_cv1, b_cv1, w_m1, b_m1, w_m2, b_m2, w_cv2, b_cv2,
+                w_cv3, b_cv3, o_ref, *, num_blocks: int, tile_rows: int,
+                img_h: int):
+    """x_ref (1, H+2nb, W, C) padded full image; o_ref (1, th, W, C_out) tile.
+
+    One grid step computes output rows [t*th, (t+1)*th). Padded coordinates:
+    real image rows live at [nb, H+nb).
+    """
+    nb = num_blocks
+    th = tile_rows
+    W, C = x_ref.shape[2], x_ref.shape[3]
+    h = w_cv1.shape[1]
+    R = th + 2 * nb
+
+    s = pl.program_id(1) * th  # tile start, in padded coords == halo-window lo
+    xt = x_ref[0, pl.ds(s, R), :, :]  # (R, W, C) bf16, always in-bounds
+
+    # cv1: 1x1 C->h + SiLU
+    work = _silu_f32(_mm(xt.reshape(R * W, C), w_cv1[...], b_cv1[...]))
+    work = work.astype(jnp.bfloat16).reshape(R, W, h)
+
+    r = R
+    for i in range(num_blocks):
+        # bottleneck cv1: 1x1 h->h + SiLU
+        t = _silu_f32(_mm(work.reshape(r * W, h), w_m1[i], b_m1[i]))
+        t = t.astype(jnp.bfloat16).reshape(r, W, h)
+        # zero halo rows outside the image (canonical 3x3 zero padding): after
+        # i bottlenecks the window shrank one row per side, so local row j is
+        # padded row s + (R - r)//2 + j; real rows are [nb, img_h + nb)
+        prow = jax.lax.broadcasted_iota(jnp.int32, (r, 1, 1), 0) + (
+            s + (R - r) // 2
+        )
+        inside = (prow >= nb) & (prow < img_h + nb)
+        t = jnp.where(inside, t, jnp.bfloat16(0.0))
+        tp = jnp.pad(t, ((0, 0), (1, 1), (0, 0)))  # W zero padding
+        out_rows = r - 2
+        # 3x3 as 9 shifted dots (an im2col single K=9h dot would feed the MXU
+        # better, but Mosaic cannot yet relayout the 9-way channel concat)
+        acc = b_m2[i].astype(jnp.float32)[None, :] * jnp.ones(
+            (out_rows * W, 1), jnp.float32
+        )
+        for dy in range(3):
+            for dx in range(3):
+                sl = tp[dy:dy + out_rows, dx:dx + W, :].reshape(out_rows * W, h)
+                acc += jax.lax.dot_general(
+                    sl, w_m2[i, dy, dx], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        c = _silu_f32(acc).astype(jnp.bfloat16).reshape(out_rows, W, h)
+        work = work[1:r - 1] + c  # residual
+        r = out_rows
+
+    # bypass cv2: 1x1 C->h + SiLU on the th center rows
+    xc = xt[nb:nb + th].reshape(th * W, C)
+    y2 = _silu_f32(_mm(xc, w_cv2[...], b_cv2[...])).astype(jnp.bfloat16)
+    y = jnp.concatenate([work.reshape(th * W, h), y2], axis=1)  # (th*W, 2h)
+    out = _silu_f32(_mm(y, w_cv3[...], b_cv3[...])).astype(jnp.bfloat16)
+    o_ref[0] = out.reshape(1, th, W, -1)[0]
+
+
+def _pick_tile_rows(H: int, target: int) -> int:
+    for th in range(min(target, H), 0, -1):
+        if H % th == 0:
+            return th
+    return H
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_blocks", "tile_rows", "interpret")
+)
+def csp_fused(x, weights: Dict[str, jnp.ndarray], *, num_blocks: int,
+              tile_rows: int = 64, interpret: bool = False):
+    """Fused CSP block over a batch.
+
+    Args:
+      x: (B, H, W, C) bfloat16.
+      weights: flat dict from `fuse_csp_variables` —
+        w_cv1 (C, h), b_cv1 (h,), w_m1 (nb, h, h), b_m1 (nb, h),
+        w_m2 (nb, 3, 3, h, h), b_m2 (nb, h), w_cv2 (C, h), b_cv2 (h,),
+        w_cv3 (2h, C_out), b_cv3 (C_out,).
+    Returns (B, H, W, C_out) bfloat16.
+    """
+    B, H, W, C = x.shape
+    nb = num_blocks
+    c_out = weights["w_cv3"].shape[1]
+    th = _pick_tile_rows(H, tile_rows)
+    n_tiles = H // th
+
+    # nb halo rows of zeros top and bottom — one cheap XLA pad keeps every
+    # in-kernel row access in-bounds with no clamping arithmetic
+    xp = jnp.pad(x.astype(jnp.bfloat16), ((0, 0), (nb, nb), (0, 0), (0, 0)))
+
+    order = ["w_cv1", "b_cv1", "w_m1", "b_m1", "w_m2", "b_m2",
+             "w_cv2", "b_cv2", "w_cv3", "b_cv3"]
+    w_args = [jnp.asarray(weights[k], jnp.bfloat16) for k in order]
+    w_specs = [
+        pl.BlockSpec(w.shape, lambda b, t, _n=w.ndim: (0,) * _n,
+                     memory_space=pltpu.VMEM)
+        for w in w_args
+    ]
+
+    kernel = functools.partial(
+        _csp_kernel, num_blocks=nb, tile_rows=th, img_h=H
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[
+            # full padded image; block index constant in t -> stays resident
+            pl.BlockSpec((1, H + 2 * nb, W, C), lambda b, t: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec((1, th, W, c_out), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, c_out), jnp.bfloat16),
+        # the resident full-image window + per-tile intermediates exceed the
+        # 16 MB default scoped-vmem budget; v5e has 128 MB of VMEM and the
+        # surrounding pipeline needs headroom, so declare a 64 MB budget
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, *w_args)

@@ -103,3 +103,81 @@ def test_flash_attention_numerically_stable_large_logits():
     assert np.isfinite(got).all()
     ref = np.asarray(attention_reference(q, k, v))
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+
+class TestFusedCSP:
+    """Fused CSP Pallas kernel (ops/pallas/csp_kernel.py) vs canonical CSPBlock."""
+
+    def _folded_csp(self, nb, C, H, key):
+        import jax.tree_util as jtu
+
+        from skyeye_tpu.models.blocks import CSPBlock
+        from skyeye_tpu.utils.checkpoint import fuse_conv_bn
+
+        m = CSPBlock(C, nb, dtype=jnp.bfloat16)
+        x = jax.random.normal(key, (2, H, H, C), jnp.float32)
+        v = m.init(key, x, train=False)
+        # non-trivial BN stats so folding is exercised
+        leaves, treedef = jtu.tree_flatten(v)
+        rngs = jax.random.split(key, len(leaves))
+        v = jtu.tree_unflatten(
+            treedef,
+            [l + 0.1 * jax.random.normal(r, l.shape) for l, r in zip(leaves, rngs)],
+        )
+        v = jtu.tree_map(lambda l: jnp.abs(l) + 0.05 if l.ndim == 1 else l, v)
+        return m, fuse_conv_bn(v), x
+
+    @pytest.mark.parametrize("nb,C,H,th", [(1, 64, 32, 8), (3, 128, 16, 4),
+                                           (2, 96, 24, 24)])
+    def test_matches_canonical(self, nb, C, H, th):
+        from skyeye_tpu.ops.fused_csp import fuse_csp_variables
+        from skyeye_tpu.ops.pallas.csp_kernel import csp_fused
+
+        m, vf, x = self._folded_csp(nb, C, H, jax.random.PRNGKey(0))
+        ref = np.asarray(m.apply(vf, x.astype(jnp.bfloat16), train=False),
+                         np.float32)
+        wrapped = {"params": {"backbone": {"csp1": vf["params"]}},
+                   "batch_stats": {"backbone": {"csp1": vf["batch_stats"]}}}
+        weights = fuse_csp_variables(wrapped)["params"]["backbone"]["csp1"]
+        out = np.asarray(
+            csp_fused(x.astype(jnp.bfloat16), weights, num_blocks=nb,
+                      tile_rows=th, interpret=True),
+            np.float32,
+        )
+        # both paths are bf16; tolerance is the bf16 accumulation-order class
+        assert np.abs(ref - out).max() <= 0.02 * np.abs(ref).max() + 1e-3
+
+    def test_requires_folded_variables(self):
+        from skyeye_tpu.ops.fused_csp import fuse_csp_variables
+
+        m, vf, x = self._folded_csp(1, 64, 16, jax.random.PRNGKey(1))
+        # un-fold: non-identity scale must be rejected
+        vf["params"]["cv1"]["bn"]["scale"] = (
+            np.asarray(vf["params"]["cv1"]["bn"]["scale"]) * 2.0
+        )
+        wrapped = {"params": {"backbone": {"csp1": vf["params"]}},
+                   "batch_stats": {"backbone": {"csp1": vf["batch_stats"]}}}
+        with pytest.raises(ValueError, match="BN-folded"):
+            fuse_csp_variables(wrapped)
+
+    def test_full_detector_fused_csp(self):
+        """fused_csp=True detector forward == canonical with same weights."""
+        from skyeye_tpu.config import ModelConfig
+        from skyeye_tpu.models import SkyEyeDetectorModule
+        from skyeye_tpu.ops.fused_csp import fuse_csp_variables
+        from skyeye_tpu.utils.checkpoint import fuse_conv_bn
+
+        cfg = ModelConfig(nc=3, base_channels=16, depth_multiple=0.33,
+                          width_multiple=0.5)
+        canonical = SkyEyeDetectorModule(config=cfg, dtype=jnp.bfloat16)
+        fused = SkyEyeDetectorModule(config=cfg, dtype=jnp.bfloat16,
+                                     fused_csp=True)
+        x = jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 64, 3))
+        v = canonical.init(jax.random.PRNGKey(0), x, train=False)
+        vf = fuse_conv_bn(v)
+        ref = canonical.apply(vf, x, train=False)
+        vfc = fuse_csp_variables(vf, path=("backbone", "csp1"))
+        out = fused.apply(vfc, x, train=False)
+        for a, b in zip(ref, out):
+            a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+            assert np.abs(a - b).max() <= 0.05 * np.abs(a).max() + 1e-2

@@ -69,7 +69,8 @@ def main():
         dec = decode_predictions(outs, anchors, (args.img, args.img))
         det, n = jax.vmap(
             partial(_nms_single_impl, conf_thres=0.25, iou_thres=0.45,
-                    multi_label=True, agnostic=False, max_det=300, max_nms=4096)
+                    multi_label=False, agnostic=False, max_det=300, max_nms=4096,
+                    approx_topk=True)  # matches bench.py exactly
         )(dec)
         return det, n
 
