@@ -157,7 +157,13 @@ class SkyEyeDetector:
         dtype: Any = jnp.float32,
         names: Optional[Sequence[str]] = None,
         fuse: bool = True,
+        approx_topk: bool = True,
     ):
+        """`approx_topk=True` (serving default) uses jax.lax.approx_max_k for the
+        pre-NMS candidate cut — the TPU-native approximate top-k (~95% candidate
+        recall vs the exact sort, measured mAP50 delta on chip recorded in
+        BASELINE.md). Pass False for exact reference-parity ranking (what
+        cli/validate.py uses for mAP eval)."""
         from .utils.checkpoint import load_model
 
         if weights is not None:
@@ -177,14 +183,18 @@ class SkyEyeDetector:
         self.conf_thres = conf_thres
         self.iou_thres = iou_thres
         self.max_det = max_det
+        self.approx_topk = approx_topk
         self.names = list(names) if names else [str(i) for i in range(self.config.nc)]
         self.pt = True  # reference detect.py:126 checks model.pt
         self._executables: Dict[Tuple, Any] = {}
         # Compile budget for the fully-on-device letterbox path: each distinct input
         # (H, W) is one compile (minutes through a remote-compile tunnel). Past the
         # budget, images are letterboxed on the HOST into the canonical square and
-        # run through ONE shared executable — a mixed-shape folder costs at most
-        # max_compiled_shapes + 1 compiles instead of one per unique shape.
+        # run through the shared canonical executable — no further per-shape
+        # compiles. Each executable still re-specializes per power-of-two batch
+        # bucket (1/2/4/8/16), so the total compile bound for a mixed-shape folder
+        # is (max_compiled_shapes + 1) * |batch buckets touched|, not
+        # max_compiled_shapes + 1.
         self.max_compiled_shapes = 4
         self._seen_shapes: set = set()
         # s2d-packed serving stem (ops/packed_stem.py) for the host-letterboxed
@@ -203,6 +213,7 @@ class SkyEyeDetector:
         anchors = jnp.asarray(self.config.anchors)
         module, variables = self.module, self.variables
         conf, iou, max_det = self.conf_thres, self.iou_thres, self.max_det
+        approx = self.approx_topk
 
         @jax.jit
         def run(frames):  # (B, H0, W0, 3) uint8 RGB
@@ -217,7 +228,7 @@ class SkyEyeDetector:
                     _nms_single_impl,
                     conf_thres=conf, iou_thres=iou, multi_label=multi_label,
                     agnostic=agnostic, max_det=max_det,
-                    max_nms=4096, approx_topk=True,
+                    max_nms=4096, approx_topk=approx,
                 )
             )(dec)
             return det, n
@@ -247,6 +258,7 @@ class SkyEyeDetector:
         module, variables = self._packed_model()
         anchors = jnp.asarray(self.config.anchors)
         conf, iou, max_det = self.conf_thres, self.iou_thres, self.max_det
+        approx = self.approx_topk
 
         @jax.jit
         def run(frames):
@@ -258,7 +270,7 @@ class SkyEyeDetector:
                     _nms_single_impl,
                     conf_thres=conf, iou_thres=iou, multi_label=multi_label,
                     agnostic=agnostic, max_det=max_det, max_nms=4096,
-                    approx_topk=True,
+                    approx_topk=approx,
                 )
             )(dec)
             return det, n

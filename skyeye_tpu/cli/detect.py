@@ -51,6 +51,7 @@ def run(
     hide_conf: bool = False,
     half: bool = False,
     vid_stride: int = 1,
+    exact_nms: bool = False,
 ):
     import cv2
     import jax
@@ -115,11 +116,13 @@ def run(
         outs = detector.module.apply(detector.variables, x, train=False)
         dec = decode_predictions(outs, anchors_dev, (in_h, in_w))
         return jax.vmap(
-            # serving mode: approximate top-k candidate cut (exact top-k is a
-            # TPU sort — measured 38% of the pipeline; mAP eval keeps exact)
+            # serving default: approximate top-k candidate cut (exact top-k is a
+            # TPU sort — measured 38% of the pipeline; mAP eval keeps exact).
+            # --exact-nms restores the reference's exact candidate ranking.
             partial(_nms_single_impl, conf_thres=conf_thres, iou_thres=iou_thres,
                     multi_label=False, agnostic=agnostic_nms, max_det=max_det,
-                    max_nms=4096, class_mask=class_mask_dev, approx_topk=True)
+                    max_nms=4096, class_mask=class_mask_dev,
+                    approx_topk=not exact_nms)
         )(dec)
 
     # Double-buffered pipeline (BASELINE config #3 throughput mode): keep up to
@@ -280,6 +283,9 @@ def parse_opt():
     p.add_argument("--hide-conf", action="store_true")
     p.add_argument("--half", action="store_true")
     p.add_argument("--vid-stride", type=int, default=1)
+    p.add_argument("--exact-nms", action="store_true",
+                   help="exact top-k candidate cut instead of the TPU-optimized "
+                        "approx_max_k serving default (~95%% candidate recall)")
     opt = p.parse_args()
     opt.imgsz = opt.imgsz * 2 if len(opt.imgsz) == 1 else opt.imgsz
     return opt

@@ -36,8 +36,8 @@ from ..utils.general import (
     init_seeds, labels_to_class_weights, print_args,
 )
 from ..train import (
-    EarlyStopping, build_optimizer, create_train_state, fitness, make_lr_schedule,
-    make_train_step,
+    EarlyStopping, build_optimizer_runtime, create_train_state, fitness,
+    host_schedule, make_train_step,
 )
 from ..train.optimizer import accumulation_steps
 from ..losses import ComputeLoss
@@ -200,11 +200,14 @@ def train(
         int(round(hyp_dict.get("warmup_epochs", 3.0) * steps_per_epoch)), 100
     )
     warmup_opt_steps = max(warmup_steps // accumulate, 1)
-    lr_sched = make_lr_schedule(hyp_dict, epochs, opt_steps_per_epoch,
-                                cos_lr=not linear_lr, warmup_steps=warmup_opt_steps)
-    tx = build_optimizer(lr_sched, hyp_dict, variables["params"], adam=adam,
-                         batch_size=batch_size, accumulate=accumulate,
-                         warmup_steps=warmup_opt_steps)
+    # runtime-scalar schedules: the host computes this step's lr/bias_lr/momentum
+    # as plain floats and passes them into the jitted step — changing --epochs or
+    # any hyp no longer forces a recompile (each closed-over schedule constant used
+    # to cost a fresh 10-15 min remote compile)
+    lr_sched = host_schedule(hyp_dict, epochs, opt_steps_per_epoch,
+                             cos_lr=not linear_lr, warmup_steps=warmup_opt_steps)
+    tx = build_optimizer_runtime(hyp_dict, variables["params"], adam=adam,
+                                 batch_size=batch_size, accumulate=accumulate)
 
     loss_fn = ComputeLoss(jnp.asarray(config.anchors), nc, hyp=hyp_dict)
     state = create_train_state(variables, tx)
@@ -245,7 +248,13 @@ def train(
 
     # -- mesh + sharded step
     n_dev = len(jax.devices())
-    mesh = create_mesh(n_spatial=spatial_shards) if n_dev > 1 else None
+    # the data axis must divide the batch; use the largest batch divisor that
+    # fits the devices (e.g. batch 4 on an 8-device host -> data=4 mesh)
+    avail = max(n_dev // max(spatial_shards, 1), 1)
+    n_data = max(d for d in range(1, min(avail, batch_size) + 1)
+                 if batch_size % d == 0)
+    mesh = (create_mesh(n_data=n_data, n_spatial=spatial_shards)
+            if n_data * spatial_shards > 1 else None)
     aug_fn = None
     if device_aug:
         from functools import partial as _partial
@@ -271,6 +280,10 @@ def train(
             "images": np.ascontiguousarray(batch["images"]),
             "targets": np.asarray(batch["targets"]),
             "mask": np.asarray(batch["mask"]),
+            # rows >= n_valid are wrap-around duplicates (fixed-shape padding of
+            # the last partial batch) — the train step zeroes their loss weight
+            "n_valid": np.asarray(batch.get("n_valid", batch["images"].shape[0]),
+                                  np.int32),
         }
         return shard_batch(mesh, out) if mesh is not None else out
 
@@ -285,6 +298,10 @@ def train(
         for dev_batch in device_prefetch(train_loader, size=2, transform=to_host_batch):
             if aug_fn is not None:
                 dev_batch["aug_key"] = jax.random.PRNGKey(seed * 1_000_003 + py_step)
+            sched_now = lr_sched(py_step // accumulate)
+            dev_batch["opt_hyperparams"] = {
+                k: np.float32(v) for k, v in sched_now.items()
+            }
             state, metrics = step_fn(state, dev_batch)
             metric_handles.append(metrics)
             py_step += 1
@@ -293,7 +310,7 @@ def train(
             [[float(m["box"]), float(m["obj"]), float(m["cls"])] for m in metric_handles],
             axis=0,
         ) if metric_handles else np.zeros(3)
-        lr_now = float(lr_sched(py_step // accumulate))  # schedule count = optimizer steps
+        lr_now = lr_sched(py_step // accumulate)["lr"]  # schedule count = optimizer steps
         LOGGER.info("epoch %d/%d: box %.4f obj %.4f cls %.4f (%.1fs, lr %.5f)",
                     epoch + 1, epochs, *mloss, time.time() - t0, lr_now)
 

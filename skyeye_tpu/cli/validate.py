@@ -84,6 +84,7 @@ def validate(
     save_dir: Optional[Path] = None,
     max_nms: int = 8192,
     verbose: bool = False,
+    approx_topk: bool = False,
 ):
     """Returns ((mp, mr, map50, map), maps_per_class, times_ms)."""
     from ..data.dataset import create_dataloader
@@ -140,6 +141,10 @@ def validate(
                         conf_thres=conf_thres, iou_thres=iou_thres,
                         multi_label=nc > 1, agnostic=False,
                         max_det=max_det, max_nms=max_nms,
+                        # exact top-k by default (reference-parity ranking);
+                        # approx_topk=True measures the serving candidate cut's
+                        # mAP impact on chip (tools/approx_topk_eval.py)
+                        approx_topk=approx_topk,
                     )
                 )(dec)
                 raw = outs if compute_loss is not None else None
@@ -307,6 +312,9 @@ def parse_opt():
     p.add_argument("--exist-ok", action="store_true")
     p.add_argument("--no-plots", dest="plots", action="store_false")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--approx-topk", action="store_true",
+                   help="use the serving-mode approx_max_k candidate cut instead "
+                        "of exact top-k (measures its mAP impact)")
     return p.parse_args()
 
 

@@ -188,8 +188,14 @@ class ComputeLoss:
             return focal_loss(pred, target, gamma=self.gamma, alpha=0.25)
         return bce_with_logits(pred, target)
 
-    def __call__(self, predictions: Sequence[jnp.ndarray], targets, mask):
-        """Returns (total_loss, aux) where aux = [lbox, lobj, lcls] (detached values)."""
+    def __call__(self, predictions: Sequence[jnp.ndarray], targets, mask,
+                 img_weight=None):
+        """Returns (total_loss, aux) where aux = [lbox, lobj, lcls] (detached values).
+
+        img_weight: optional (B,) float per-image loss weights. The BatchLoader pads
+        the last partial batch with wrap-around duplicates (dataset.py); weighting
+        those rows 0 removes their double gradient contribution while their pixels
+        still feed BatchNorm statistics (ADVICE round 2)."""
         targets = jnp.asarray(targets, jnp.float32)
         mask = jnp.asarray(mask, bool)
         lbox = jnp.zeros((), jnp.float32)
@@ -204,6 +210,10 @@ class ComputeLoss:
             )
             b, a, gj, gi = asg["b"], asg["a"], asg["gj"], asg["gi"]
             m = asg["mask"]
+            # per-assignment weights: padding mask, optionally scaled per image
+            w = m.astype(jnp.float32)
+            if img_weight is not None:
+                w = w * img_weight[jnp.clip(b, 0, B - 1)]
 
             # gather matched predictions: (K, no)
             ps = pi[b, gj, gi, a]
@@ -212,19 +222,23 @@ class ComputeLoss:
             pwh = (jax.nn.sigmoid(ps[:, 2:4]) * 2.0) ** 2 * asg["anchor_wh"]
             pbox = jnp.concatenate([pxy, pwh], axis=1)
             iou = bbox_iou(pbox, asg["tbox"], format="xywh", iou_type="ciou")
-            lbox = lbox + masked_mean(1.0 - iou, m)
+            lbox = lbox + masked_mean(1.0 - iou, w)
 
             # objectness target = detached positive IoU at matched cells
             score_iou = jnp.clip(jax.lax.stop_gradient(iou), 0.0, None)
             tobj = jnp.zeros((B, H, W, na), jnp.float32)
             b_safe = jnp.where(m, b, B)  # OOB -> dropped
             tobj = tobj.at[b_safe, gj, gi, a].max(score_iou, mode="drop")
-            lobj = lobj + jnp.mean(self._cls_obj_bce(pi[..., 4], tobj)) * self.balance[i]
+            obj_bce = self._cls_obj_bce(pi[..., 4], tobj)
+            if img_weight is not None:
+                lobj = lobj + masked_mean(obj_bce, img_weight) * self.balance[i]
+            else:
+                lobj = lobj + jnp.mean(obj_bce) * self.balance[i]
 
             if self.nc > 1:
                 t_cls = jnp.full((ps.shape[0], self.nc), self.cn, jnp.float32)
                 t_cls = t_cls.at[jnp.arange(ps.shape[0]), asg["cls"]].set(self.cp)
-                lcls = lcls + masked_mean(self._cls_obj_bce(ps[:, 5:], t_cls), m)
+                lcls = lcls + masked_mean(self._cls_obj_bce(ps[:, 5:], t_cls), w)
 
         lbox = lbox * self.hyp["box"]
         lobj = lobj * self.hyp["obj"]

@@ -90,6 +90,22 @@ class CBAM(nn.Module):
         return x
 
 
+def _flash_backend_ok() -> bool:
+    """Flash kernel gate: TPU backends only (XLA's einsum fusion wins on CPU).
+    SKYEYE_FLASH_INTERPRET=1 forces the branch on any backend with the kernel in
+    interpret mode — lets CPU tests exercise the real gate + custom VJP."""
+    import os
+
+    if os.environ.get("SKYEYE_NO_PALLAS"):
+        return False
+    if os.environ.get("SKYEYE_FLASH_INTERPRET"):
+        return True
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def _bilinear_resize(x, out_h: int, out_w: int):
     """NHWC bilinear resize with align_corners=False semantics (static shapes)."""
     return jax.image.resize(x, (x.shape[0], out_h, out_w, x.shape[3]), method="bilinear")
@@ -200,17 +216,22 @@ class MultiHeadSelfAttention(nn.Module):
             and mask is None
             and bias is None
             and N >= 256  # tiny windows: einsum beats the kernel's pad overhead
-            and jax.devices()[0].platform in ("tpu", "axon")
+            and _flash_backend_ok()
         )
+        # Trainable: padded_flash_attention carries a custom VJP (einsum-recompute
+        # backward), so this branch is safe under jax.grad — no train gate needed.
         if flash_ok:
+            import os
+
             from ..ops.pallas.attention_kernel import padded_flash_attention
 
+            interpret = bool(os.environ.get("SKYEYE_FLASH_INTERPRET"))
             qf = q.transpose(0, 2, 1, 3).reshape(B * self.num_heads, N, hd)
             kf = k.transpose(0, 2, 1, 3).reshape(B * self.num_heads, N, hd)
             vf = v.transpose(0, 2, 1, 3).reshape(B * self.num_heads, N, hd)
             of = padded_flash_attention(
                 qf.astype(jnp.float32), kf.astype(jnp.float32),
-                vf.astype(jnp.float32),
+                vf.astype(jnp.float32), interpret=interpret,
             )
             out = of.reshape(B, self.num_heads, N, hd).transpose(0, 2, 1, 3)
             out = out.reshape(B, N, C).astype(self.dtype)

@@ -58,9 +58,12 @@ class FusedCSPBlock(nn.Module):
             "w_cv3": self.param("w_cv3", z, (2 * h, self.out_channels), jnp.float32),
             "b_cv3": self.param("b_cv3", z, (self.out_channels,), jnp.float32),
         }
-        from .pallas.csp_kernel import csp_fused
+        from .pallas.csp_kernel import csp_fused_v2
 
-        return csp_fused(
+        # v2 (halo-DMA input window, ~2 MB VMEM footprint) composes inside the
+        # full serving pipeline; v1's resident-image budget blocked compilation
+        # there (round-2 VERDICT #1)
+        return csp_fused_v2(
             x.astype(jnp.bfloat16), weights, num_blocks=nb, tile_rows=32,
             interpret=not _pallas_available(),
         ).astype(self.dtype)

@@ -95,6 +95,20 @@ def _greedy_nms(boxes, scores, iou_thres: float, max_det: int):
     return keep_idx, keep_valid
 
 
+def greedy_nms(offset_boxes, scores, iou_thres: float, max_det: int):
+    """Backend-gated greedy suppression: the Pallas kernel on TPU (the whole
+    candidate set stays in VMEM), the lax while_loop fallback elsewhere.
+    Every production suppression pass — per-image NMS and the tile-merge global
+    NMS (ops/tiling.py) — routes through here."""
+    if _pallas_nms_enabled():
+        from .pallas.nms_kernel import pallas_greedy_nms
+
+        return pallas_greedy_nms(
+            offset_boxes, scores, max_det=max_det, iou_thres=iou_thres
+        )
+    return _greedy_nms(offset_boxes, scores, iou_thres, max_det)
+
+
 def _nms_single_impl(
     prediction,
     conf_thres: float = 0.25,
@@ -164,14 +178,7 @@ def _nms_single_impl(
     offset = jnp.where(agnostic, 0.0, cand_cls * _MAX_WH)
     offset_boxes = cand_boxes + offset[:, None]
 
-    if _pallas_nms_enabled():
-        from .pallas.nms_kernel import pallas_greedy_nms
-
-        keep_idx, keep_valid = pallas_greedy_nms(
-            offset_boxes, cand_scores, max_det=max_det, iou_thres=iou_thres
-        )
-    else:
-        keep_idx, keep_valid = _greedy_nms(offset_boxes, cand_scores, iou_thres, max_det)
+    keep_idx, keep_valid = greedy_nms(offset_boxes, cand_scores, iou_thres, max_det)
 
     out_boxes = cand_boxes[keep_idx]
     out_scores = cand_scores[keep_idx]

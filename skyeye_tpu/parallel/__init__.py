@@ -4,10 +4,13 @@ from .mesh import (
     SPATIAL_AXIS,
     batch_sharding,
     create_mesh,
+    initialize_distributed,
     is_main_process,
     local_batch_size,
+    replicate_multihost,
     replicated,
     shard_batch,
+    shard_batch_multihost,
 )
 
 __all__ = [
@@ -15,8 +18,11 @@ __all__ = [
     "SPATIAL_AXIS",
     "batch_sharding",
     "create_mesh",
+    "initialize_distributed",
     "is_main_process",
     "local_batch_size",
+    "replicate_multihost",
     "replicated",
     "shard_batch",
+    "shard_batch_multihost",
 ]

@@ -70,6 +70,39 @@ def shard_batch(mesh: Mesh, batch, spatial: bool = False):
     return jax.tree_util.tree_map(place, batch)
 
 
+def shard_batch_multihost(mesh: Mesh, local_batch):
+    """Multi-host (DCN) batch placement: each process passes its LOCAL slice of the
+    global batch and gets back global jax.Arrays sharded over the data axis.
+
+    This is the multi-controller analogue of `shard_batch` — the TPU-native
+    replacement for the reference's DistributedSampler + DDP input split
+    (/root/reference/skyeye/core/data/loaders.py:57-61, cli/train.py:17-21): each
+    host loads only its own rows; `jax.make_array_from_process_local_data`
+    assembles the logical global array without any cross-host data movement.
+    Scalars / rank-0 arrays are treated as replicated (every process must pass the
+    same value).
+    """
+    def place(x):
+        x = np.asarray(x)
+        if x.ndim >= 1:
+            sh = NamedSharding(mesh, P(DATA_AXIS))
+            gshape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+            return jax.make_array_from_process_local_data(sh, x, gshape)
+        return jax.make_array_from_process_local_data(replicated(mesh), x, x.shape)
+
+    return jax.tree_util.tree_map(place, local_batch)
+
+
+def replicate_multihost(mesh: Mesh, tree):
+    """Replicate a pytree (e.g. model params) across every device of a
+    multi-process mesh. Each process must pass identical values (same-seed init)."""
+    def place(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(replicated(mesh), x, x.shape)
+
+    return jax.tree_util.tree_map(place, tree)
+
+
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None) -> None:

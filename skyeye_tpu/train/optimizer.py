@@ -110,3 +110,50 @@ def build_optimizer(
     if accum > 1:
         return optax.MultiSteps(inner, every_k_schedule=accum)
     return inner
+
+
+RUNTIME_HYPERPARAMS = ("lr", "bias_lr", "momentum")
+
+
+def build_optimizer_runtime(
+    hyp: Dict[str, float],
+    params,
+    adam: bool = False,
+    batch_size: int = 16,
+    accumulate: Optional[int] = None,
+) -> optax.GradientTransformation:
+    """Same optimizer semantics as `build_optimizer`, but lr / bias-group lr /
+    momentum are RUNTIME hyperparameters (optax.inject_hyperparams state) instead of
+    traced schedule closures.
+
+    The train step overrides `opt_state.hyperparams` each step from values the host
+    computes with `schedules.host_schedule` — so epoch-count / hyp / warmup changes
+    never recompile the step (round-2 VERDICT #8; the schedules module used to bake
+    epochs & steps_per_epoch into the jaxpr as constants).
+    """
+    accum = accumulate if accumulate is not None else accumulation_steps(batch_size)
+    wd = hyp["weight_decay"] * batch_size * accum / NOMINAL_BATCH
+    b1 = hyp["momentum"]
+
+    def factory(lr, bias_lr, momentum):
+        def chain(rate):
+            if adam:
+                core = optax.scale_by_adam(b1=b1, b2=0.999)
+            else:
+                core = optax.trace(decay=momentum, nesterov=True)
+            return optax.chain(
+                optax.add_decayed_weights(wd, mask=decay_mask),
+                core,
+                optax.scale_by_learning_rate(rate),
+            )
+
+        inner = optax.multi_transform(
+            {"bias": chain(bias_lr), "other": chain(lr)}, bias_labels
+        )
+        if accum > 1:
+            return optax.MultiSteps(inner, every_k_schedule=accum)
+        return inner
+
+    return optax.inject_hyperparams(factory)(
+        lr=hyp["lr0"], bias_lr=hyp["lr0"], momentum=hyp["momentum"]
+    )

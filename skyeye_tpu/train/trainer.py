@@ -59,13 +59,25 @@ def make_train_step(
     device_augment(images, targets, mask, key) runs INSIDE the jitted step (on-device
     mosaic/HSV/affine, data/device_aug.py); the batch then must carry an "aug_key"
     PRNG key.
+
+    A batch may carry "n_valid" (scalar int): rows >= n_valid are wrap-around
+    duplicates from the loader's fixed-shape padding and get zero loss weight
+    (if the loss supports img_weight).
     """
+    import inspect
+
+    try:
+        _target = loss_fn.__call__ if not inspect.isfunction(loss_fn) else loss_fn
+        _loss_takes_img_weight = "img_weight" in inspect.signature(_target).parameters
+    except (TypeError, ValueError):
+        _loss_takes_img_weight = False
 
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         images = batch["images"]
         # accept uint8 frames and normalize on device (4x cheaper H2D transfer)
         if images.dtype == jnp.uint8:
             images = images.astype(jnp.float32) / 255.0
+        n_valid = batch.get("n_valid")
         targets_in, mask_in = batch["targets"], batch["mask"]
         if device_augment is not None:
             images, targets_in, mask_in = device_augment(
@@ -79,6 +91,12 @@ def make_train_step(
         flat_targets = batch["targets"].reshape(B * M, 6)
         flat_targets = flat_targets.at[:, 0].set(img_idx.reshape(-1))
         flat_mask = batch["mask"].reshape(B * M)
+        # wrap-around duplicates padding the last partial batch (dataset.py
+        # BatchLoader) get zero loss weight — their pixels still feed BatchNorm,
+        # but they contribute no gradient (ADVICE round 2)
+        img_weight = None
+        if n_valid is not None and _loss_takes_img_weight:
+            img_weight = (jnp.arange(B) < n_valid).astype(jnp.float32)
 
         def loss_of(params):
             outs, updates = module.apply(
@@ -87,13 +105,29 @@ def make_train_step(
                 train=True,
                 mutable=["batch_stats"],
             )
-            loss, aux = loss_fn(outs, flat_targets, flat_mask)
+            if img_weight is not None:
+                loss, aux = loss_fn(outs, flat_targets, flat_mask,
+                                    img_weight=img_weight)
+            else:
+                loss, aux = loss_fn(outs, flat_targets, flat_mask)
             return loss, (aux, updates["batch_stats"])
 
         (loss, (aux, new_stats)), grads = jax.value_and_grad(loss_of, has_aux=True)(
             state.params
         )
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        opt_state = state.opt_state
+        # runtime-scalar schedules: the host passes this step's lr/bias_lr/momentum
+        # as batch scalars and the optimizer was built with inject_hyperparams
+        # (build_optimizer_runtime) — overriding state.hyperparams applies them
+        # without baking schedule constants into the compiled step
+        hp = batch.get("opt_hyperparams")
+        if hp is not None and hasattr(opt_state, "hyperparams"):
+            merged = {
+                k: jnp.asarray(hp.get(k, v), jnp.float32)
+                for k, v in opt_state.hyperparams.items()
+            }
+            opt_state = opt_state._replace(hyperparams=merged)
+        updates, new_opt_state = tx.update(grads, opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = ema_update(state.ema, new_params, decay=ema_decay)
 

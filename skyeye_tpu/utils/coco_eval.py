@@ -71,7 +71,11 @@ def _match_one(
         for di in range(D):
             best, best_iou = -1, thr - 1e-10
             for gi in range(G):
-                if gt_used[gi]:
+                # pycocotools: an already-matched GT blocks re-matching only if it
+                # is a real (non-ignored) GT — crowd/ignored GT may absorb any
+                # number of detections (cocoeval.py evaluateImg's
+                # `gtm>0 and not iscrowd` check)
+                if gt_used[gi] and not gt_ignore[gi]:
                     continue
                 # once we reach ignored GT, a real match already found wins outright
                 if best > -1 and not gt_ignore[best] and gt_ignore[gi]:

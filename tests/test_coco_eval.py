@@ -121,3 +121,31 @@ def test_agrees_with_internal_ap_machinery():
     internal_map50 = float(ap[:, 0].mean())
     coco = evaluate_coco(gt_j, dt_j)
     assert abs(coco["AP50"] - internal_map50) < 0.03, (coco["AP50"], internal_map50)
+
+
+def test_crowd_gt_absorbs_duplicate_detections():
+    """pycocotools semantics: multiple detections overlapping the same iscrowd GT
+    are ALL ignored (matched-to-ignored), not counted as FPs (ADVICE round 2)."""
+    from skyeye_tpu.utils.coco_eval import _match_one
+
+    gt_boxes = np.array([[0.0, 0.0, 100.0, 100.0]])  # one crowd region
+    gt_ignore = np.array([True])
+    # two detections both inside the crowd region
+    dt_boxes = np.array([[5.0, 5.0, 90.0, 90.0], [10.0, 10.0, 80.0, 80.0]])
+    dt_scores = np.array([0.9, 0.8])
+    m, ig, _ = _match_one(dt_boxes, dt_scores, gt_boxes, gt_ignore, max_dets=100)
+    # both detections match the crowd GT and are flagged ignored at IoU 0.5 (ti=0)
+    assert m[0].all(), "crowd GT must absorb every overlapping detection"
+    assert ig[0].all(), "matches to ignored GT must be marked ignored"
+
+
+def test_real_gt_still_blocks_rematch():
+    from skyeye_tpu.utils.coco_eval import _match_one
+
+    gt_boxes = np.array([[0.0, 0.0, 100.0, 100.0]])
+    gt_ignore = np.array([False])
+    dt_boxes = np.array([[0.0, 0.0, 100.0, 100.0], [1.0, 1.0, 99.0, 99.0]])
+    dt_scores = np.array([0.9, 0.8])
+    m, ig, _ = _match_one(dt_boxes, dt_scores, gt_boxes, gt_ignore, max_dets=100)
+    assert m[0, 0] and not m[0, 1], "a real GT matches only the best detection"
+    assert not ig[0].any()

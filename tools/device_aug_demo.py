@@ -31,6 +31,11 @@ def main():
     p.add_argument("--n-val", type=int, default=48)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--overfit", action="store_true",
+                   help="use the map_parity converged recipe (fl_gamma 0, mosaic "
+                        "0, 600ish epochs reach mAP50 ~0.7) so the host-vs-device "
+                        "aug delta is measured on a CONVERGED model (VERDICT r2 "
+                        "#7) — compares the on-device affine/HSV/flip pipeline")
     args = p.parse_args()
 
     if args.cpu:
@@ -53,11 +58,21 @@ def main():
 
     cfg = ModelConfig(nc=8, base_channels=16, depth_multiple=0.33,
                       width_multiple=1.0)
+    hyp_path = None
+    if args.overfit:
+        import yaml as _yaml
+
+        hyp_path = workdir / "hyp_overfit.yaml"
+        hyp_path.write_text(_yaml.safe_dump({
+            "fl_gamma": 0.0, "mosaic": 0.0, "mixup": 0.0,
+            "scale": 0.2, "translate": 0.05,
+        }))
     results = {}
     for mode, device_aug in [("host_aug", False), ("device_aug", True)]:
         t0 = time.time()
         _, save_dir = train(
             cfg=cfg, data=str(data_yaml), epochs=args.epochs,
+            hyp=str(hyp_path) if hyp_path else None,
             batch_size=args.batch_size, img_size=args.img_size, accumulate=1,
             project=str(workdir), name=mode, exist_ok=True, workers=4,
             patience=10_000, max_labels=160, noval=True, device_aug=device_aug,

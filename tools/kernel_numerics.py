@@ -1,0 +1,188 @@
+"""On-chip Pallas kernel numerics regression (round-2 VERDICT #5).
+
+Runs the COMPILED (non-interpret) Pallas kernels on the real TPU chip against
+their lax/einsum references for a fixed seed set and records max-abs diffs to
+profiles/kernel_numerics_r{N}.json. The CPU test suite only exercises interpret
+mode — a Mosaic miscompile would ship silently without this.
+
+Checks:
+  1. pallas_greedy_nms == _greedy_nms (exact keep-set equality, 16 seeds)
+  2. padded_flash_attention == einsum attention (f32, detection-head shapes)
+  3. csp_fused == canonical CSPBlock (bf16 tolerance class)
+  4. approx_max_k candidate-cut recall vs exact top-k (informational)
+
+Usage: python tools/kernel_numerics.py [--out profiles/kernel_numerics_r03.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="profiles/kernel_numerics_r03.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from skyeye_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    platform = jax.devices()[0].platform
+    if platform not in ("tpu", "axon"):
+        print(f"ERROR: need a TPU backend, got {platform}", file=sys.stderr)
+        sys.exit(1)
+
+    results = {"platform": platform, "device": str(jax.devices()[0]),
+               "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"), "checks": {}}
+
+    # -- 1. NMS kernel vs lax reference: exact keep-set equality -----------------
+    from skyeye_tpu.ops.nms import _greedy_nms
+    from skyeye_tpu.ops.pallas.nms_kernel import pallas_greedy_nms
+
+    n_match, n_total, mismatches = 0, 0, []
+    for seed in range(16):
+        rng = np.random.default_rng(seed)
+        k, n_real = 1024, 400
+        cx = rng.uniform(50, 1200, k)
+        cy = rng.uniform(50, 1200, k)
+        w = rng.uniform(8, 120, k)
+        h = rng.uniform(8, 120, k)
+        cls = rng.integers(0, 10, k).astype(np.float32)
+        boxes = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], 1)
+        boxes = (boxes + cls[:, None] * 7680.0).astype(np.float32)
+        scores = rng.uniform(0.05, 1.0, k).astype(np.float32)
+        scores[n_real:] = -1.0
+
+        bj, sj = jnp.asarray(boxes), jnp.asarray(scores)
+        ref_idx, ref_valid = jax.jit(
+            lambda b, s: _greedy_nms(b, s, 0.45, 300)
+        )(bj, sj)
+        got_idx, got_valid = pallas_greedy_nms(bj, sj, max_det=300, iou_thres=0.45)
+        rv, gv = np.asarray(ref_valid), np.asarray(got_valid)
+        ri, gi = np.asarray(ref_idx), np.asarray(got_idx)
+        n_total += 1
+        same = bool((rv == gv).all() and (ri[rv] == gi[gv]).all())
+        n_match += same
+        if not same:
+            mismatches.append({"seed": seed, "ref_kept": int(rv.sum()),
+                               "got_kept": int(gv.sum()),
+                               "first_diff": int(np.argmax(ri != gi))})
+    results["checks"]["pallas_nms_vs_lax"] = {
+        "seeds_exact_match": n_match, "seeds_total": n_total,
+        "mismatches": mismatches, "pass": n_match == n_total,
+    }
+    print(f"NMS kernel: {n_match}/{n_total} seeds exact keep-set match")
+
+    # -- 2. Flash attention vs einsum reference ----------------------------------
+    from skyeye_tpu.ops.pallas.attention_kernel import (
+        attention_reference, padded_flash_attention,
+    )
+
+    flash_checks = []
+    for (B, N, hd) in [(16, 400, 64), (8, 1600, 64), (4, 1600, 128)]:
+        rng = np.random.default_rng(N + hd)
+        q = jnp.asarray(rng.normal(0, 1, (B, N, hd)).astype(np.float32))
+        k = jnp.asarray(rng.normal(0, 1, (B, N, hd)).astype(np.float32))
+        v = jnp.asarray(rng.normal(0, 1, (B, N, hd)).astype(np.float32))
+        with jax.default_matmul_precision("highest"):
+            ref = np.asarray(jax.jit(attention_reference)(q, k, v))
+        got = np.asarray(jax.jit(padded_flash_attention)(q, k, v))
+        diff = float(np.abs(ref - got).max())
+        rel = diff / (float(np.abs(ref).max()) + 1e-12)
+        flash_checks.append({"shape": [B, N, hd], "max_abs_diff": diff,
+                             "rel_to_max": rel, "pass": rel < 5e-3})
+        print(f"flash attention {B}x{N}x{hd}: max abs diff {diff:.2e} "
+              f"(rel {rel:.2e})")
+    results["checks"]["flash_attention_vs_einsum"] = {
+        "cases": flash_checks, "pass": all(c["pass"] for c in flash_checks),
+    }
+
+    # -- 3. Fused CSP kernel vs canonical CSPBlock -------------------------------
+    try:
+        import jax.tree_util as jtu
+
+        from skyeye_tpu.models.blocks import CSPBlock
+        from skyeye_tpu.ops.fused_csp import fuse_csp_variables
+        from skyeye_tpu.ops.pallas.csp_kernel import csp_fused
+        from skyeye_tpu.utils.checkpoint import fuse_conv_bn
+
+        csp_checks = []
+        for (nb, C, H) in [(1, 64, 320), (2, 128, 160)]:
+            key = jax.random.PRNGKey(C)
+            m = CSPBlock(C, nb, dtype=jnp.bfloat16)
+            x = jax.random.normal(key, (2, H, H, C), jnp.float32)
+            vv = m.init(key, x, train=False)
+            leaves, treedef = jtu.tree_flatten(vv)
+            rngs = jax.random.split(key, len(leaves))
+            vv = jtu.tree_unflatten(
+                treedef,
+                [l + 0.1 * jax.random.normal(r, l.shape)
+                 for l, r in zip(leaves, rngs)],
+            )
+            vv = jtu.tree_map(
+                lambda l: jnp.abs(l) + 0.05 if l.ndim == 1 else l, vv)
+            vf = fuse_conv_bn(vv)
+            ref = np.asarray(
+                jax.jit(lambda xx: m.apply(vf, xx, train=False))(
+                    x.astype(jnp.bfloat16)), np.float32)
+            wrapped = {"params": {"backbone": {"csp1": vf["params"]}},
+                       "batch_stats": {"backbone": {"csp1": vf["batch_stats"]}}}
+            weights = fuse_csp_variables(wrapped)["params"]["backbone"]["csp1"]
+            got = np.asarray(
+                csp_fused(x.astype(jnp.bfloat16), weights, num_blocks=nb,
+                          tile_rows=32), np.float32)
+            diff = float(np.abs(ref - got).max())
+            rel = diff / (float(np.abs(ref).max()) + 1e-12)
+            csp_checks.append({"shape": [nb, C, H], "max_abs_diff": diff,
+                               "rel_to_max": rel, "pass": rel < 0.03})
+            print(f"fused CSP nb={nb} C={C} H={H}: max abs diff {diff:.2e} "
+                  f"(rel {rel:.2e})")
+        results["checks"]["csp_fused_vs_canonical"] = {
+            "cases": csp_checks, "pass": all(c["pass"] for c in csp_checks),
+        }
+    except Exception as e:
+        results["checks"]["csp_fused_vs_canonical"] = {"error": str(e)[:500],
+                                                       "pass": False}
+        print(f"fused CSP check failed: {e}")
+
+    # -- 4. approx_max_k candidate recall (informational) ------------------------
+    recalls = []
+    for seed in range(8):
+        rng = np.random.default_rng(100 + seed)
+        scores = rng.uniform(0, 1, 100_000).astype(np.float32)
+        sj = jnp.asarray(scores)
+        k = 4096
+        _, exact_idx = jax.jit(lambda s: jax.lax.top_k(s, k))(sj)
+        _, approx_idx = jax.jit(lambda s: jax.lax.approx_max_k(s, k))(sj)
+        e = set(np.asarray(exact_idx).tolist())
+        a = set(np.asarray(approx_idx).tolist())
+        recalls.append(len(e & a) / k)
+    results["checks"]["approx_max_k_recall"] = {
+        "mean_recall": float(np.mean(recalls)), "min_recall": float(np.min(recalls)),
+        "k": 4096, "n": 100_000,
+    }
+    print(f"approx_max_k recall vs exact top-k: mean {np.mean(recalls):.4f} "
+          f"min {np.min(recalls):.4f}")
+
+    results["pass"] = all(
+        c.get("pass", True) for c in results["checks"].values()
+    )
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(results, indent=1))
+    print(f"{'PASS' if results['pass'] else 'FAIL'} -> {out}")
+    sys.exit(0 if results["pass"] else 2)
+
+
+if __name__ == "__main__":
+    main()
