@@ -53,15 +53,26 @@ def _build_pipeline(variant: str, img: int, nc: int, batch: int):
     from skyeye_tpu.ops.packed_stem import pack_stem_variables
     from skyeye_tpu.utils.checkpoint import fuse_conv_bn
 
+    import os
+
     cfg = ModelConfig.from_variant(variant, nc=nc)
     # serving form: BN folded into conv kernels + s2d-packed first stage (exact
     # weight remaps; equivalence asserted by tests/test_packed_stem.py).
-    module = SkyEyeDetectorModule(config=cfg, dtype=jnp.bfloat16, packed_stem=True)
+    # SKYEYE_FUSED_CSP=1 additionally swaps stage-1 CSP for the fused Pallas
+    # kernel (ops/pallas/csp_kernel.py csp_fused_v2, halo-DMA variant).
+    fused = bool(os.environ.get("SKYEYE_FUSED_CSP"))
+    module = SkyEyeDetectorModule(config=cfg, dtype=jnp.bfloat16, packed_stem=True,
+                                  fused_csp=fused)
     canonical = SkyEyeDetectorModule(config=cfg, dtype=jnp.bfloat16)
     variables = canonical.init(
         jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3), jnp.float32), train=False
     )
     variables = pack_stem_variables(fuse_conv_bn(variables))
+    if fused:
+        from skyeye_tpu.ops.fused_csp import fuse_csp_variables
+
+        variables = fuse_csp_variables(variables, path=("backbone", "csp1"))
+        print("# fused-CSP Pallas kernel ENABLED (stage-1)", file=sys.stderr)
     anchors = jnp.asarray(cfg.anchors)
 
     def body(frames):  # uint8 (B, H/4, W/4, 48) host-packed (s2d4_host)

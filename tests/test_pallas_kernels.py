@@ -154,6 +154,7 @@ def test_flash_attention_numerically_stable_large_logits():
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 class TestFusedCSP:
     """Fused CSP Pallas kernel (ops/pallas/csp_kernel.py) vs canonical CSPBlock."""
 
@@ -232,6 +233,7 @@ class TestFusedCSP:
             assert np.abs(a - b).max() <= 0.05 * np.abs(a).max() + 1e-2
 
 
+@pytest.mark.slow
 class TestFusedCSPv2:
     """Halo-DMA + wide-dot fused CSP (csp_fused_v2) vs canonical CSPBlock."""
 

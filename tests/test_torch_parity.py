@@ -256,3 +256,44 @@ def test_transformer_layer_module_parity(refmod):
 
     assert out.shape == ref_out.shape
     np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=1e-4)
+
+
+def test_windowed_attention_module_parity(refmod):
+    """Module-level parity for the windowed-attention primitive (reference
+    attention.py:312-399 — shipped but unused there; a real model component here
+    via SwinBlock) with mapped weights, including the relative-position bias
+    table and a shifted-window mask."""
+    import jax
+    import jax.numpy as jnp
+
+    from skyeye_tpu.models.attention import WindowedSelfAttention, shift_window_mask
+
+    torch.manual_seed(1)
+    C, heads, ws = 32, 4, 4
+    H = W = 8
+    nW = (H // ws) * (W // ws)
+    B = 2
+    ref = refmod["attention"].WindowedSelfAttention(C, ws, heads).eval()
+
+    x_t = torch.randn(B * nW, ws * ws, C)
+    mask_j = shift_window_mask(H, W, ws, shift=2)
+    mask_t = torch.from_numpy(np.asarray(mask_j))
+    with torch.no_grad():
+        ref_out = ref(x_t, mask_t).numpy()
+        ref_out_nomask = ref(x_t).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {
+        "qkv": {"kernel": sd["qkv.weight"].T, "bias": sd["qkv.bias"]},
+        "proj": {"kernel": sd["proj.weight"].T, "bias": sd["proj.bias"]},
+        "relative_position_bias_table": sd["relative_position_bias_table"],
+    }
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    m = WindowedSelfAttention(dim=C, window_size=ws, num_heads=heads)
+    x_j = jnp.asarray(x_t.numpy())
+    out = np.asarray(m.apply({"params": params}, x_j, mask_j))
+    out_nomask = np.asarray(m.apply({"params": params}, x_j, None))
+
+    np.testing.assert_allclose(out_nomask, ref_out_nomask, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=1e-4)
