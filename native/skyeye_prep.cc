@@ -176,6 +176,23 @@ void letterbox_into(const Image& im, unsigned char* out, int out_h, int out_w,
   }
 }
 
+// 4x4 space-to-depth pack: (S, S, 3) RGB -> (S/4, S/4, 48) with channel
+// (dy*4+dx)*3 + c — the TPU packed-stem input layout (skyeye_tpu/ops/
+// packed_stem.py s2d4_host). Packing here saves the numpy transpose per batch
+// and keeps the whole ingest path native.
+void s2d4_pack(const unsigned char* frame, unsigned char* out, int s) {
+  const int q = s / 4;
+  for (int oy = 0; oy < q; ++oy) {
+    for (int dy = 0; dy < 4; ++dy) {
+      const unsigned char* src_row = frame + (static_cast<size_t>(oy) * 4 + dy) * s * 3;
+      for (int ox = 0; ox < q; ++ox) {
+        unsigned char* dst = out + (static_cast<size_t>(oy) * q + ox) * 48 + dy * 12;
+        std::memcpy(dst, src_row + static_cast<size_t>(ox) * 12, 12);
+      }
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -186,6 +203,43 @@ int sp_decode_shape(const char* path, int* h, int* w) {
   *h = im.h;
   *w = im.w;
   return 0;
+}
+
+// Like sp_prep_batch but emits the 4x4 space-to-depth packed layout:
+// out is n * (out_s/4) * (out_s/4) * 48 bytes (out_s must be a multiple of 4).
+// Feeds the TPU packed-stem executable directly — zero Python-side reshaping.
+int sp_prep_batch_s2d4(const char** paths, int n, unsigned char* out, int out_s,
+                       int n_threads, float* meta) {
+  if (n <= 0 || out_s % 4 != 0) return 0;
+  const size_t frame_bytes = static_cast<size_t>(out_s) * out_s * 3;
+  std::atomic<int> next(0), ok(0);
+  const int workers = std::max(1, std::min(n_threads > 0 ? n_threads : 8, n));
+
+  auto work = [&]() {
+    std::vector<unsigned char> scratch(frame_bytes);
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) break;
+      Image im;
+      unsigned char* dst = out + frame_bytes * i;
+      if (decode(paths[i], &im) && im.w > 0 && im.h > 0) {
+        letterbox_into(im, scratch.data(), out_s, out_s,
+                       meta ? meta + 3 * i : nullptr);
+        s2d4_pack(scratch.data(), dst, out_s);
+        ok.fetch_add(1);
+      } else {
+        std::memset(dst, 0, frame_bytes);
+        if (meta) meta[3 * i] = 0.0f;
+      }
+    }
+  };
+
+  std::vector<std::thread> pool;
+  pool.reserve(workers - 1);
+  for (int t = 1; t < workers; ++t) pool.emplace_back(work);
+  work();
+  for (auto& t : pool) t.join();
+  return ok.load();
 }
 
 int sp_prep_batch(const char** paths, int n, unsigned char* out, int out_h,

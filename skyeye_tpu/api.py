@@ -78,10 +78,23 @@ class Results:
             frames.append(df)
         return frames
 
+    def _image(self, i: int) -> np.ndarray:
+        """Original image i; lazily loaded from its path when the fast file-batch
+        path (predict_files) skipped host decoding."""
+        if self.images[i] is None:
+            import cv2
+
+            im = cv2.imread(self.paths[i])
+            if im is None:
+                raise FileNotFoundError(self.paths[i])
+            self.images[i] = im
+        return self.images[i]
+
     def render(self) -> List[np.ndarray]:
         """Annotated copies of the original images (BGR)."""
         out = []
-        for im, det in zip(self.images, self.detections):
+        for i, det in enumerate(self.detections):
+            im = self._image(i)
             ann = Annotator(im.copy())
             for *xyxy, conf, cls in det:
                 c = int(cls)
@@ -123,7 +136,7 @@ class Results:
                 name = self.names[int(cls)] if int(cls) < len(self.names) else str(int(cls))
                 crops.append(
                     save_one_box(
-                        xyxy, self.images[i],
+                        xyxy, self._image(i),
                         file=Path(save_dir) / name / f"{Path(self.paths[i]).stem}_{j}.jpg",
                     )
                 )
@@ -381,6 +394,61 @@ class SkyEyeDetector:
             "total_ms": total / max(len(imgs), 1) * 1000,
         }
         return Results(detections, imgs, paths, self.names, times)
+
+    def predict_files(self, paths: Sequence[Union[str, Path]],
+                      size: Optional[int] = None, multi_label: bool = False,
+                      agnostic: bool = False) -> Results:
+        """Throughput path for image FILES: the native C++ thread pool decodes,
+        letterboxes, and 4x4 space-to-depth packs the whole batch
+        (native/skyeye_prep.cc sp_prep_batch_s2d4) straight into the canonical
+        packed-stem executable — no cv2, no per-image Python, no numpy repack.
+        Original images are loaded lazily only if .render()/.save()/.crop() ask.
+
+        Falls back to __call__ when the native library is unavailable.
+        """
+        import time
+
+        from .data.native import native_available
+
+        paths = [str(p) for p in paths]
+        if not native_available():
+            return self(paths, size=size, multi_label=multi_label,
+                        agnostic=agnostic)
+        from .data.native import prep_batch_s2d4
+
+        out_size = check_img_size(size or self.img_size, self.stride)
+        run = self._pipeline_canonical((out_size, out_size), multi_label, agnostic)
+
+        t0 = time.perf_counter()
+        detections: List[Optional[np.ndarray]] = [None] * len(paths)
+        t_infer = 0.0
+        pos = 0
+        for bs in self._batch_buckets(len(paths)):
+            chunk = list(range(pos, pos + bs))
+            pos += bs
+            packed, meta, n_ok = prep_batch_s2d4(
+                [paths[i] for i in chunk], out_size
+            )
+            t1 = time.perf_counter()
+            det, n = run(jnp.asarray(packed))
+            det, n = np.asarray(det), np.asarray(n)
+            t_infer += time.perf_counter() - t1
+            for k, i in enumerate(chunk):
+                gain, dw, dh = meta[k]
+                d = det[k, : n[k]].copy()
+                if gain > 0 and len(d):
+                    # native shape recovery: letterbox geometry inverts exactly
+                    w0 = (out_size - 2 * dw) / gain
+                    h0 = (out_size - 2 * dh) / gain
+                    d[:, [0, 2]] = np.clip((d[:, [0, 2]] - dw) / gain, 0, w0)
+                    d[:, [1, 3]] = np.clip((d[:, [1, 3]] - dh) / gain, 0, h0)
+                detections[i] = d if gain > 0 else np.zeros((0, 6), np.float32)
+        total = time.perf_counter() - t0
+        times = {
+            "inference_ms": t_infer / max(len(paths), 1) * 1000,
+            "total_ms": total / max(len(paths), 1) * 1000,
+        }
+        return Results(detections, [None] * len(paths), paths, self.names, times)
 
     def _load_sources(self, source) -> Tuple[List[np.ndarray], List[str]]:
         items = source if isinstance(source, (list, tuple)) else [source]

@@ -49,6 +49,15 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.sp_decode_shape.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)
         ]
+        try:
+            lib.sp_prep_batch_s2d4.restype = ctypes.c_int
+            lib.sp_prep_batch_s2d4.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ]
+        except AttributeError:  # older .so without the packed entry point
+            pass
         _lib = lib
     except OSError as e:
         LOGGER.debug("native prep load failed: %s", e)
@@ -94,6 +103,34 @@ def prep_batch(
         arr, n,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         out_h, out_w, n_threads,
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out, meta, int(n_ok)
+
+
+def prep_batch_s2d4(
+    paths: List[str],
+    out_s: int,
+    n_threads: int = 8,
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Decode + letterbox + 4x4 space-to-depth pack natively.
+
+    Returns (batch (n, out_s/4, out_s/4, 48) uint8 in the packed-stem layout,
+    meta (n, 3) [gain, dw, dh], n_decoded). Identical to
+    s2d4_host(prep_batch(...)[0]) but with the pack done in the C++ workers.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "sp_prep_batch_s2d4"):
+        raise RuntimeError("native s2d4 preprocessing unavailable")
+    assert out_s % 4 == 0, out_s
+    n = len(paths)
+    out = np.empty((n, out_s // 4, out_s // 4, 48), np.uint8)
+    meta = np.zeros((n, 3), np.float32)
+    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    n_ok = lib.sp_prep_batch_s2d4(
+        arr, n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        out_s, n_threads,
         meta.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out, meta, int(n_ok)

@@ -70,3 +70,55 @@ def test_host_and_device_paths_agree(det):
         same_cls = a[:, 5:6] == b[None, :, 5]
         matched = ((iou > 0.5) & same_cls).any(axis=1)
         assert matched.mean() >= 0.85, matched.mean()
+
+
+def test_predict_files_native_fast_path(tmp_path):
+    """predict_files: native decode+letterbox+s2d4 pack -> canonical executable.
+    Detections must match the standard __call__ path on the same files."""
+    import numpy as np
+    import pytest
+
+    from skyeye_tpu.api import SkyEyeDetector
+    from skyeye_tpu.data.native import native_available
+
+    if not native_available():
+        pytest.skip("native prep unavailable")
+    try:
+        import cv2
+    except ImportError:
+        pytest.skip("cv2 needed to write test images")
+
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(3):
+        im = rng.integers(0, 255, (200, 300, 3)).astype(np.uint8)
+        p = tmp_path / f"f{i}.png"
+        cv2.imwrite(str(p), im)
+        paths.append(str(p))
+
+    det = SkyEyeDetector(cfg="skyeye_s", num_classes=4, img_size=128,
+                         conf_thres=0.25)
+    r_fast = det.predict_files(paths)
+    assert len(r_fast) == 3
+    # lazy image loading works for render()
+    rendered = r_fast.render()
+    assert rendered[0].shape == (200, 300, 3)
+
+    # same files through the standard path; both use the canonical packed
+    # executable geometry, so results must agree closely
+    det2 = SkyEyeDetector(cfg="skyeye_s", num_classes=4, img_size=128,
+                          conf_thres=0.25)
+    det2.max_compiled_shapes = 0  # force host letterbox -> canonical executable
+    det2.variables = det.variables
+    det2._packed = None
+    r_std = det2(paths)
+    for a, b in zip(r_fast.detections, r_std.detections):
+        assert a.shape[0] == b.shape[0]
+        if len(a):
+            # untrained weights give many near-tied confidences whose NMS keep
+            # ORDER can differ between numerically-identical paths — compare as
+            # coordinate-sorted sets
+            a_s = a[np.lexsort((a[:, 1], a[:, 0]))]
+            b_s = b[np.lexsort((b[:, 1], b[:, 0]))]
+            match = np.abs(a_s[:, :4] - b_s[:, :4]).max(axis=1) < 2.0
+            assert match.mean() > 0.9, f"only {match.mean():.0%} rows matched"

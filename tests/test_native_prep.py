@@ -114,3 +114,34 @@ def test_batchloader_native_path_matches_python(tmp_path):
         native_batch["images"].astype(float) - py_batch["images"].astype(float)
     )
     assert diff.mean() < 4.0, diff.mean()
+
+
+def test_prep_batch_s2d4_matches_numpy_pack(tmp_path):
+    """Native letterbox+pack == s2d4_host(native letterbox) exactly."""
+    import numpy as np
+    import pytest
+
+    from skyeye_tpu.data.native import native_available, prep_batch, prep_batch_s2d4
+    from skyeye_tpu.ops.packed_stem import s2d4_host
+
+    if not native_available():
+        pytest.skip("native prep unavailable")
+    try:
+        import cv2
+    except ImportError:
+        pytest.skip("cv2 needed to write test images")
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i, (h, w) in enumerate([(480, 640), (333, 517)]):
+        im = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+        p = tmp_path / f"im{i}.png"
+        cv2.imwrite(str(p), im)
+        paths.append(str(p))
+
+    S = 128
+    plain, meta_a, ok_a = prep_batch(paths, S, S)
+    packed, meta_b, ok_b = prep_batch_s2d4(paths, S)
+    assert ok_a == ok_b == len(paths)
+    np.testing.assert_array_equal(meta_a, meta_b)
+    np.testing.assert_array_equal(packed, s2d4_host(plain))
