@@ -243,3 +243,35 @@ def test_shift_window_mask_blocks_cross_region():
     assert mask.shape == (4, 16, 16)
     # some pairs masked, some not
     assert float(mask.min()) == -100.0 and float(mask.max()) == 0.0
+
+
+def test_calibration_observe_ranges():
+    """observe_ranges captures per-submodule activation stats on the detector."""
+    import numpy as np
+
+    from skyeye_tpu.config import ModelConfig
+    from skyeye_tpu.models import SkyEyeDetectorModule
+    from skyeye_tpu.ops.calibrate import (
+        observe_ranges, quantize_weight_per_channel, symmetric_scale,
+    )
+
+    cfg = ModelConfig(nc=3, base_channels=16, depth_multiple=0.33,
+                      width_multiple=0.25)
+    module = SkyEyeDetectorModule(config=cfg)
+    x0 = np.zeros((1, 64, 64, 3), np.float32)
+    variables = module.init(jax.random.PRNGKey(0), jnp.asarray(x0), train=False)
+
+    rng = np.random.default_rng(0)
+    batches = [rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+               for _ in range(2)]
+    stats = observe_ranges(module, variables, batches)
+    assert any("backbone" in k for k in stats)
+    for v in stats.values():
+        assert v["absmax"] >= v["pctl"] >= 0
+
+    # weight quantization round-trip sanity
+    k = rng.normal(0, 0.1, (3, 3, 8, 16)).astype(np.float32)
+    q, s = quantize_weight_per_channel(k)
+    err = np.abs(q.astype(np.float32) * s[None, None, None, :] - k).max()
+    assert err < np.abs(k).max() / 100
+    assert symmetric_scale(1.27) == 1.27 / 127
