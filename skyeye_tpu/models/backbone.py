@@ -56,6 +56,12 @@ class CSPDarknet(nn.Module):
     # is fused). Use with variables transformed by
     # ops.fused_csp.fuse_csp_variables (BN-folded first).
     fused_csp: bool = False
+    # Serving-path int8 PTQ for stages 1-2 (the HBM-bound 67% of the pipeline):
+    # s8 convs with per-channel weight scales + calibrated per-tensor activation
+    # scales; every inter-layer tensor stored int8 (ops/int8_stage.py). Use with
+    # variables from ops.int8_stage.quantize_early_variables. Requires
+    # packed_stem.
+    int8_early: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
@@ -66,29 +72,46 @@ class CSPDarknet(nn.Module):
         c4 = scaled_channels(self.base_channels * 8, w)
         c5 = scaled_channels(self.base_channels * 16, w)
 
-        # Stage 1 (/4): Focus -> conv/2 -> CSP(3d)
-        if self.packed_stem:
+        if self.int8_early:
+            assert self.packed_stem, "int8_early requires the packed-stem layout"
+            from ..ops.int8_stage import Int8EarlyStage
             from ..ops.packed_stem import s2d4_device
 
-            if x.shape[-1] == 3:  # raw image: pack on device (host pack preferred)
+            if x.shape[-1] == 3:
                 x = s2d4_device(x)
-            x = ConvBlock(4 * c1, 3, stride=1, dtype=self.dtype, name="stem")(x, train)
-            x = ConvBlock(c2, 2, stride=1, padding=((1, 0), (1, 0)),
-                          dtype=self.dtype, name="down1")(x, train)
+            p3 = Int8EarlyStage(
+                c1=c1, c2=c2, c3=c3, nb1=scaled_depth(3, d),
+                nb2=scaled_depth(9, d), dtype=self.dtype, name="int8_early",
+            )(x, train)
         else:
-            x = FocusBlock(c1, kernel_size=3, dtype=self.dtype, name="stem")(x, train)
-            x = ConvBlock(c2, 3, stride=2, dtype=self.dtype, name="down1")(x, train)
-        if self.fused_csp:
-            from ..ops.fused_csp import FusedCSPBlock
+            # Stage 1 (/4): Focus -> conv/2 -> CSP(3d)
+            if self.packed_stem:
+                from ..ops.packed_stem import s2d4_device
 
-            x = FusedCSPBlock(c2, scaled_depth(3, d), dtype=self.dtype,
-                              name="csp1")(x, train)
-        else:
-            x = CSPBlock(c2, scaled_depth(3, d), dtype=self.dtype, name="csp1")(x, train)
+                if x.shape[-1] == 3:  # raw image: pack on device
+                    x = s2d4_device(x)
+                x = ConvBlock(4 * c1, 3, stride=1, dtype=self.dtype,
+                              name="stem")(x, train)
+                x = ConvBlock(c2, 2, stride=1, padding=((1, 0), (1, 0)),
+                              dtype=self.dtype, name="down1")(x, train)
+            else:
+                x = FocusBlock(c1, kernel_size=3, dtype=self.dtype,
+                               name="stem")(x, train)
+                x = ConvBlock(c2, 3, stride=2, dtype=self.dtype,
+                              name="down1")(x, train)
+            if self.fused_csp:
+                from ..ops.fused_csp import FusedCSPBlock
 
-        # Stage 2 (/8) -> P3
-        x = ConvBlock(c3, 3, stride=2, dtype=self.dtype, name="down2")(x, train)
-        p3 = CSPBlock(c3, scaled_depth(9, d), dtype=self.dtype, name="csp2")(x, train)
+                x = FusedCSPBlock(c2, scaled_depth(3, d), dtype=self.dtype,
+                                  name="csp1")(x, train)
+            else:
+                x = CSPBlock(c2, scaled_depth(3, d), dtype=self.dtype,
+                             name="csp1")(x, train)
+
+            # Stage 2 (/8) -> P3
+            x = ConvBlock(c3, 3, stride=2, dtype=self.dtype, name="down2")(x, train)
+            p3 = CSPBlock(c3, scaled_depth(9, d), dtype=self.dtype,
+                          name="csp2")(x, train)
 
         # Stage 3 (/16) -> P4, with CBAM
         x = ConvBlock(c4, 3, stride=2, dtype=self.dtype, name="down3")(p3, train)

@@ -39,6 +39,9 @@ class SkyEyeDetectorModule(nn.Module):
     # serving-path fused CSP stages 1-2 as Pallas kernels (ops/fused_csp.py);
     # use with variables transformed by fuse_csp_variables (after fuse_conv_bn)
     fused_csp: bool = False
+    # serving-path int8 PTQ early backbone (ops/int8_stage.py); use with
+    # variables from quantize_early_variables (calibrated; requires packed_stem)
+    int8_early: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
@@ -50,6 +53,7 @@ class SkyEyeDetectorModule(nn.Module):
             dtype=self.dtype,
             packed_stem=self.packed_stem,
             fused_csp=self.fused_csp,
+            int8_early=self.int8_early,
             name="backbone",
         )(x, train)
 

@@ -396,7 +396,8 @@ def test_multiprocess_train_step():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=240)
+            # generous: two jax startups + gloo rendezvous under a loaded CPU
+            out, _ = p.communicate(timeout=480)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
