@@ -61,8 +61,9 @@ def _build_pipeline(variant: str, img: int, nc: int, batch: int):
     # SKYEYE_FUSED_CSP=1 additionally swaps stage-1 CSP for the fused Pallas
     # kernel (ops/pallas/csp_kernel.py csp_fused_v2, halo-DMA variant).
     fused = bool(os.environ.get("SKYEYE_FUSED_CSP"))
+    int8 = bool(os.environ.get("SKYEYE_INT8"))
     module = SkyEyeDetectorModule(config=cfg, dtype=jnp.bfloat16, packed_stem=True,
-                                  fused_csp=fused)
+                                  fused_csp=fused, int8_early=int8)
     canonical = SkyEyeDetectorModule(config=cfg, dtype=jnp.bfloat16)
     variables = canonical.init(
         jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3), jnp.float32), train=False
@@ -73,6 +74,26 @@ def _build_pipeline(variant: str, img: int, nc: int, batch: int):
 
         variables = fuse_csp_variables(variables, path=("backbone", "csp1"))
         print("# fused-CSP Pallas kernel ENABLED (stage-1)", file=sys.stderr)
+    if int8:
+        # SPEED measurement: scales don't affect timing, so synthesize ranges
+        # instead of paying a capture_intermediates compile on chip (real
+        # calibration is the accuracy path, tools/approx_topk_eval-style)
+        from skyeye_tpu.models.backbone import scaled_depth
+        from skyeye_tpu.ops.int8_stage import (
+            _range_key_map, quantize_early_variables,
+        )
+
+        nb1 = scaled_depth(3, cfg.depth_multiple)
+        nb2 = scaled_depth(9, cfg.depth_multiple)
+        keys = set()
+        for v in _range_key_map(nb1, nb2).values():
+            if isinstance(v, tuple):
+                keys.update(v[1:])
+            elif v:
+                keys.add(v)
+        ranges = {k: {"pctl": 4.0, "absmax": 6.0} for k in keys}
+        variables = quantize_early_variables(variables, ranges, cfg)
+        print("# int8 early backbone ENABLED (stages 1-2)", file=sys.stderr)
     anchors = jnp.asarray(cfg.anchors)
 
     def body(frames):  # uint8 (B, H/4, W/4, 48) host-packed (s2d4_host)
