@@ -332,26 +332,33 @@ def train(
                 [epoch, *mloss, *results[:4], *results[4:7], lr_now]
             )
 
-        # -- checkpoints (train.py:139-157 convention: last + best by fitness)
-        payload = {
-            "params": state.params,
-            "batch_stats": state.batch_stats,
-            "ema_params": state.ema.params,
-            "ema_updates": int(state.ema.updates),
-            # full optimizer state in last/ for exact resume (reference keeps the
-            # optimizer in last.pt and strips it from final weights, train.py:139-157);
-            # flattened because optax states are NamedTuples orbax round-trips as dicts
-            "opt_state": flatten_opt(state.opt_state),
-            "step": int(state.step),
-            "epoch": epoch,
-            "best_fitness": best_fit,
-            "config": config.to_dict(),
-        }
-        save_checkpoint(wdir / "last", payload)
-        if fit >= best_fit:
-            save_checkpoint(wdir / "best", payload)
-        if save_period > 0 and epoch % save_period == 0:
-            save_checkpoint(wdir / f"epoch{epoch}", payload)
+        # -- checkpoints (train.py:139-157 convention: last + best by fitness).
+        # With --noval the fitness signal doesn't exist, so "best" is skipped and
+        # --save-period N thins `last` to every N epochs (+ the final one) — an
+        # orbax save costs seconds, which dominates short-epoch runs otherwise.
+        ckpt_every = save_period if (noval and save_period > 0) else 1
+        save_now = (epoch % ckpt_every == 0) or (epoch == epochs - 1)
+        if save_now:
+            payload = {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "ema_params": state.ema.params,
+                "ema_updates": int(state.ema.updates),
+                # full optimizer state in last/ for exact resume (reference keeps
+                # the optimizer in last.pt and strips it from final weights,
+                # train.py:139-157); flattened because optax states are
+                # NamedTuples orbax round-trips as dicts
+                "opt_state": flatten_opt(state.opt_state),
+                "step": int(state.step),
+                "epoch": epoch,
+                "best_fitness": best_fit,
+                "config": config.to_dict(),
+            }
+            save_checkpoint(wdir / "last", payload)
+            if fit >= best_fit and not noval:
+                save_checkpoint(wdir / "best", payload)
+            if save_period > 0 and not noval and epoch % save_period == 0:
+                save_checkpoint(wdir / f"epoch{epoch}", payload)
 
         if stopper(epoch, fit):
             LOGGER.info("early stopping at epoch %d (no improvement for %d epochs)",

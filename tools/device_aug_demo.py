@@ -76,6 +76,7 @@ def main():
             batch_size=args.batch_size, img_size=args.img_size, accumulate=1,
             project=str(workdir), name=mode, exist_ok=True, workers=4,
             patience=10_000, max_labels=160, noval=True, device_aug=device_aug,
+            save_period=100,  # orbax saves cost seconds; thin them under noval
         )
         train_s = time.time() - t0
         wdir = Path(save_dir) / "weights"

@@ -98,6 +98,7 @@ def main():
             batch_size=args.batch_size, img_size=args.img_size, accumulate=1,
             project=str(workdir), name="run", exist_ok=True, workers=4,
             patience=10_000, max_labels=160, noval=True,
+            save_period=100,  # orbax saves cost seconds; thin them under noval
         )
         wdir = Path(save_dir) / "weights"
         cands = [wdir / n for n in ("best", "last") if (wdir / n).exists()]
