@@ -99,7 +99,9 @@ def _build_pipeline(variant: str, img: int, nc: int, batch: int):
     def body(frames):  # uint8 (B, H/4, W/4, 48) host-packed (s2d4_host)
         x = frames.astype(jnp.bfloat16) / 255.0
         outs = module.apply(variables, x, train=False)
-        dec = decode_predictions(outs, anchors, (img, img))
+        # serving: skip the reference-order transpose (row order is
+        # irrelevant to NMS; saves a ~75 MB relayout per batch)
+        dec = decode_predictions(outs, anchors, (img, img), anchor_major=False)
         det, n = jax.vmap(
             # approx_max_k: the exact lax.top_k over ~100k candidate scores was
             # 38% of pipeline time (sort-bound; profiles/trace_1280); the

@@ -235,7 +235,8 @@ class SkyEyeDetector:
             x = letterbox_batch_jax(frames, out_shape) / 255.0
             x = x.astype(module.dtype)
             outs = module.apply(variables, x, train=False)
-            dec = decode_predictions(outs, anchors, out_shape)
+            dec = decode_predictions(outs, anchors, out_shape,
+                                     anchor_major=False)
             det, n = jax.vmap(
                 partial(
                     _nms_single_impl,
@@ -277,7 +278,8 @@ class SkyEyeDetector:
         def run(frames):
             x = frames.astype(module.dtype) / 255.0
             outs = module.apply(variables, x, train=False)
-            dec = decode_predictions(outs, anchors, out_shape)
+            dec = decode_predictions(outs, anchors, out_shape,
+                                     anchor_major=False)
             det, n = jax.vmap(
                 partial(
                     _nms_single_impl,

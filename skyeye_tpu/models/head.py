@@ -66,6 +66,7 @@ def decode_predictions(
     outputs: Sequence[jnp.ndarray],
     anchors,
     input_shape: Tuple[int, int],
+    anchor_major: bool = True,
 ) -> jnp.ndarray:
     """Decode raw per-level logits into (B, N, nc+5) boxes+scores.
 
@@ -74,6 +75,10 @@ def decode_predictions(
       anchors: (nl, na, 2) grid-unit anchors.
       input_shape: (in_h, in_w) of the network input, for stride derivation
         (reference computes stride = max(in_h/grid_h, in_w/grid_w), detector.py:107-109).
+      anchor_major: emit rows in the reference's (B, na, H, W) order (a relayout
+        of ~75 MB at 1280 b16). Row order is irrelevant to NMS, so serving
+        pipelines pass False and skip the transpose; keep True wherever outputs
+        are compared index-wise against the reference.
 
     Returns decoded (B, sum(na*H*W), nc+5): xywh in input pixels, sigmoided obj/cls.
     """
@@ -93,9 +98,10 @@ def decode_predictions(
         wh = (out[..., 2:4] * 2.0) ** 2 * (anchors[i][None, None, :, :] * stride)
         rest = out[..., 4:]
         dec = jnp.concatenate([xy, wh, rest], axis=-1)
-        # anchor-major flatten to match the reference's (B, na, H, W, no) ->
-        # (B, na*H*W, no) ordering exactly (detector.py:140-141)
-        dec = jnp.transpose(dec, (0, 3, 1, 2, 4))
+        if anchor_major:
+            # anchor-major flatten to match the reference's (B, na, H, W, no) ->
+            # (B, na*H*W, no) ordering exactly (detector.py:140-141)
+            dec = jnp.transpose(dec, (0, 3, 1, 2, 4))
         decoded.append(dec.reshape(B, na * H * W, no))
     return jnp.concatenate(decoded, axis=1)
 

@@ -275,3 +275,23 @@ def test_calibration_observe_ranges():
     err = np.abs(q.astype(np.float32) * s[None, None, None, :] - k).max()
     assert err < np.abs(k).max() / 100
     assert symmetric_scale(1.27) == 1.27 / 127
+
+
+def test_decode_anchor_major_permutation_only():
+    """anchor_major=False emits the same decoded rows as True, just permuted —
+    serving pipelines skip the reference-order transpose."""
+    import numpy as np
+
+    from skyeye_tpu.models.head import decode_predictions
+
+    rng = np.random.default_rng(0)
+    outs = [jnp.asarray(rng.normal(0, 1, (2, 8, 8, 3, 10)).astype(np.float32)),
+            jnp.asarray(rng.normal(0, 1, (2, 4, 4, 3, 10)).astype(np.float32))]
+    anchors = jnp.asarray(rng.uniform(1, 4, (2, 3, 2)).astype(np.float32))
+    a = np.asarray(decode_predictions(outs, anchors, (64, 64), anchor_major=True))
+    b = np.asarray(decode_predictions(outs, anchors, (64, 64), anchor_major=False))
+    assert a.shape == b.shape
+    for i in range(2):
+        sa = a[i][np.lexsort(a[i].T)]
+        sb = b[i][np.lexsort(b[i].T)]
+        np.testing.assert_allclose(sa, sb, rtol=1e-6)
