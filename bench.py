@@ -55,7 +55,13 @@ def _build_pipeline(variant: str, img: int, nc: int, batch: int):
 
     import os
 
-    cfg = ModelConfig.from_variant(variant, nc=nc)
+    # "<v>_transformer" engages the flash-attention P5 head (configs/models/
+    # skyeye_l_transformer.yaml equivalent)
+    kw = {}
+    if variant.endswith("_transformer"):
+        variant = variant[: -len("_transformer")]
+        kw["transformer_heads"] = True
+    cfg = ModelConfig.from_variant(variant, nc=nc, **kw)
     # serving form: BN folded into conv kernels + s2d-packed first stage (exact
     # weight remaps; equivalence asserted by tests/test_packed_stem.py).
     # SKYEYE_FUSED_CSP=1 additionally swaps stage-1 CSP for the fused Pallas
