@@ -348,11 +348,13 @@ def measure_tiled_4k(batch: int = 2) -> dict:
     variables = fuse_conv_bn(variables)
     T = tile_grid((H, W), tile, overlap=0.2).shape[0]
 
-    run = jax.jit(partial(
-        detect_tiled, module, variables, cfg.anchors,
-        tile=tile, overlap=0.2, conf_thres=0.25, iou_thres=0.45,
-        dtype=jnp.bfloat16,
-    ))
+    @jax.jit
+    def run(frames):
+        return detect_tiled(
+            module, variables, cfg.anchors, frames,
+            tile=tile, overlap=0.2, conf_thres=0.25, iou_thres=0.45,
+            dtype=jnp.bfloat16,
+        )
     rng = np.random.default_rng(0)
     clips = [
         jnp.asarray(rng.integers(0, 255, (batch, H, W, 3)).astype(np.uint8))
