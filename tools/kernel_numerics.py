@@ -113,7 +113,7 @@ def main():
 
         from skyeye_tpu.models.blocks import CSPBlock
         from skyeye_tpu.ops.fused_csp import fuse_csp_variables
-        from skyeye_tpu.ops.pallas.csp_kernel import csp_fused
+        from skyeye_tpu.ops.pallas.csp_kernel import csp_fused_v2 as csp_fused
         from skyeye_tpu.utils.checkpoint import fuse_conv_bn
 
         csp_checks = []
