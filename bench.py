@@ -298,6 +298,20 @@ def measure_transformer_1280(batch: int = 4) -> dict:
     compile_s = time.time() - t0
     print(f"# compile: {compile_s:.1f}s", file=sys.stderr)
 
+    # Pallas-kernel engagement evidence: scan the optimized HLO of the exact
+    # executable for tpu_custom_call kernels (round-2 protocol)
+    kernels = []
+    try:
+        hlo = pipeline.lower(frames[0]).compile().as_text()
+        n_calls = hlo.count("tpu_custom_call")
+        for name in ("flash", "nms", "csp"):
+            if name in hlo:
+                kernels.append(name)
+        print(f"# tpu_custom_call x{n_calls}; kernels: {kernels}", file=sys.stderr)
+    except Exception as e:
+        n_calls = None
+        print(f"# HLO scan unavailable: {e}", file=sys.stderr)
+
     flops_per_img = None
     try:
         from skyeye_tpu.utils.profiling import flops_of
@@ -319,6 +333,7 @@ def measure_transformer_1280(batch: int = 4) -> dict:
         "metric": f"skyeye_l_transformer e2e inference images/sec/chip @{IMG}px "
                   f"batch {batch} (fwd+decode+NMS, pipelined)",
         "value": round(ips, 2), "unit": "images/sec", "mfu_pct": mfu,
+        "tpu_custom_calls": n_calls, "pallas_kernels_in_hlo": kernels,
         "compile_s": round(compile_s, 1), "cached": False,
     }
 
