@@ -258,6 +258,78 @@ def test_transformer_layer_module_parity(refmod):
     np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=1e-4)
 
 
+def test_cbam_module_parity(refmod):
+    """Module-level parity for the enhanced family's CBAM path: the reference
+    CombinedAttention (attention.py:101-130 = ChannelAttention 11-60 +
+    SpatialAttention 63-98) vs skyeye_tpu's CBAM with mapped weights. Together
+    with the TransformerLayer/WindowedSelfAttention tests this pins every
+    parity-testable enhanced-variant building block (CrossLayerAttention is a
+    documented deviation — see test_reference_cross_layer_attention_is_degenerate)."""
+    import jax
+    import jax.numpy as jnp
+
+    from skyeye_tpu.models.attention import CBAM
+
+    torch.manual_seed(3)
+    C, H, W, B = 32, 10, 10, 2
+    ref = refmod["attention"].CombinedAttention(C, reduction_ratio=16).eval()
+    x_t = torch.randn(B, C, H, W)
+    with torch.no_grad():
+        ref_out = ref(x_t).permute(0, 2, 3, 1).numpy()  # NCHW -> NHWC
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {
+        "channel": {
+            # torch Linear weight (out, in) -> flax Dense kernel (in, out)
+            "fc1": {"kernel": sd["channel_attention.shared_mlp.0.weight"].T},
+            "fc2": {"kernel": sd["channel_attention.shared_mlp.2.weight"].T},
+        },
+        "spatial": {
+            # torch Conv2d (out, in, kh, kw) -> flax Conv (kh, kw, in, out)
+            "conv": {"kernel": sd["spatial_attention.conv.weight"].transpose(2, 3, 1, 0)},
+        },
+    }
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    m = CBAM(reduction_ratio=16)
+    x_j = jnp.asarray(x_t.permute(0, 2, 3, 1).numpy())
+    out = np.asarray(m.apply({"params": params}, x_j))
+
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=1e-5)
+
+
+def test_reference_cross_layer_attention_is_degenerate(refmod):
+    """Empirical proof of the documented M10 deviation (SURVEY.md): the reference
+    CrossLayerAttention's region loop appends the SAME interpolated map r^2 times
+    (attention.py:208-215) and its softmax normalizes over the H axis (dim=3 of a
+    [B, heads, r^2, H, W] tensor, attention.py:180/232), so the "local region"
+    contributes exactly a constant r^2 scale factor and no spatial-neighborhood
+    structure: pre-projection features for region_size=2 are 4x those of
+    region_size=1 with identical weights. skyeye_tpu's CrossLayerAttention is
+    therefore a true local-region redesign, not a translation of this."""
+    A = refmod["attention"]
+    torch.manual_seed(5)
+    # the reference additionally requires Cq == Ck (its q*k elementwise product
+    # at attention.py:229 needs matching per-head dims), so the enhanced
+    # detector's c4/c5 pairing crashes as-shipped; equal channels here
+    Cq, Ck, H, W, B = 32, 32, 8, 8, 2
+    r1 = A.CrossLayerAttention(Cq, Ck, region_size=1, heads=4).eval()
+    r2 = A.CrossLayerAttention(Cq, Ck, region_size=2, heads=4).eval()
+    r2.load_state_dict(r1.state_dict())  # identical weights
+
+    q = torch.randn(B, Cq, H, W)
+    k = torch.randn(B, Ck, H // 2, W // 2)
+    with torch.no_grad():
+        out1 = r1(q, k)
+        out2 = r2(q, k)
+        bias = r1.output_projection.bias.detach().view(1, -1, 1, 1)
+        # out = W(u * r^2) + b where u is the softmaxed-value map for r=1
+        np.testing.assert_allclose(
+            (out2 - bias).numpy(), 4.0 * (out1 - bias).numpy(), rtol=1e-4, atol=1e-4
+        )
+
+
 def test_windowed_attention_module_parity(refmod):
     """Module-level parity for the windowed-attention primitive (reference
     attention.py:312-399 — shipped but unused there; a real model component here
