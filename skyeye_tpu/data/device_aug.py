@@ -87,10 +87,16 @@ def hsv_jitter_batch(images, key, hgain=0.015, sgain=0.7, vgain=0.4):
 # -- mosaic + affine (fused) ---------------------------------------------------
 
 
-def _inverse_affine(key, s: int, degrees, translate, scale, shear) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _inverse_affine(key, s: int, degrees, translate, scale, shear,
+                    center=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Random forward matrix M mapping canvas->output (reference composition
     T*S*R*C, augmentation.py:102-140 with perspective=0), returned INVERTED so
-    output pixels map back into the 2s x 2s canvas. Also returns the scale factor."""
+    output pixels map back into the canvas. `center` is the canvas half-extent
+    used by the C matrix (s for the 2s x 2s mosaic canvas, s/2 for a single
+    s x s image — the reference's non-mosaic random_perspective). Also returns
+    the scale factor."""
+    if center is None:
+        center = float(s)
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     a = jax.random.uniform(k1, (), minval=-degrees, maxval=degrees) * math.pi / 180.0
     sc = jax.random.uniform(k2, (), minval=1.0 - scale, maxval=1.0 + scale)
@@ -101,8 +107,9 @@ def _inverse_affine(key, s: int, degrees, translate, scale, shear) -> Tuple[jnp.
                             minval=0.5 - translate, maxval=0.5 + translate) * s
 
     cos_a, sin_a = jnp.cos(a) * sc, jnp.sin(a) * sc
-    # C: center the 2s canvas at origin
-    C = jnp.array([[1.0, 0.0, -s * 1.0], [0.0, 1.0, -s * 1.0], [0.0, 0.0, 1.0]])
+    # C: center the canvas at origin
+    C = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    C = C.at[0, 2].set(-center).at[1, 2].set(-center)
     R = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
     R = R.at[0, 0].set(cos_a).at[0, 1].set(-sin_a).at[1, 0].set(sin_a).at[1, 1].set(cos_a)
     S = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
@@ -133,23 +140,36 @@ def _bilinear_gather(img, ys, xs, valid):
     return jnp.where(valid[..., None], out, PAD / 255.0)
 
 
-def _mosaic_one(images4, targets4, mask4, key, hyp) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+def _mosaic_one(images4, targets4, mask4, key, hyp,
+                gate=True) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused mosaic+affine for one output image.
 
     images4: (4, s, s, 3) float [0,1]; targets4: (4, M, 6) [_, cls, xywh-norm];
     mask4: (4, M). Returns (out (s, s, 3), targets (4M, 6), mask (4M,)).
+
+    `gate` (traced bool scalar) selects per-image between the 4-image mosaic and
+    the reference's NON-mosaic branch — the same random affine applied to the
+    single letterboxed image (dataset.py __getitem__ else-branch /
+    augmentation.py random_perspective with border=0): the canvas degenerates to
+    the s x s frame of images4[0] (mosaic center pinned to (s, s) so quadrant 0
+    covers it with local == canvas coords), the affine recenters at s/2, and
+    slots 1-3 are masked out of both pixels and labels.
     """
     s = images4.shape[1]
     M_t = targets4.shape[1]
     kc, km = jax.random.split(key)
+    gate = jnp.asarray(gate)
 
     # random mosaic center on the 2s canvas (reference border convention:
-    # yc, xc ~ U[s/2, 3s/2], augmentation.py:208-271)
+    # yc, xc ~ U[s/2, 3s/2], augmentation.py:208-271); pinned to s when the
+    # per-image mosaic gate is off (single-image branch)
     cyx = jax.random.uniform(kc, (2,), minval=0.5 * s, maxval=1.5 * s)
+    cyx = jnp.where(gate, cyx, float(s))
     yc, xc = cyx[0], cyx[1]
 
     Minv, sc = _inverse_affine(
-        km, s, hyp["degrees"], hyp["translate"], hyp["scale"], hyp["shear"]
+        km, s, hyp["degrees"], hyp["translate"], hyp["scale"], hyp["shear"],
+        center=jnp.where(gate, float(s), s / 2.0),
     )
 
     # output pixel grid -> canvas coords
@@ -169,6 +189,9 @@ def _mosaic_one(images4, targets4, mask4, key, hyp) -> Tuple[jnp.ndarray, jnp.nd
     in_canvas = (cx >= xc - s) & (cx < xc + s) & (cy >= yc - s) & (cy < yc + s)
     in_img = (lx >= -0.5) & (lx <= s - 0.5) & (ly >= -0.5) & (ly <= s - 0.5)
     valid = in_canvas & in_img
+    # single-image branch: only quadrant 0 (= images4[0]) exists; without this,
+    # canvas coords past (s, s) would leak pixels from the other batch images
+    valid = valid & (gate | (quad == 0))
 
     # gather from all 4 images, select by quadrant (4 gathers, VPU select)
     samples = jnp.stack(
@@ -222,6 +245,8 @@ def _mosaic_one(images4, targets4, mask4, key, hyp) -> Tuple[jnp.ndarray, jnp.nd
         & (nw * nh / (w_orig * h_orig + 1e-16) > 0.10)
         & (ar < 20.0)
     )
+    # single-image branch: only slot 0's labels are real
+    keep = keep & (gate | (jnp.arange(4) == 0)[:, None])
 
     out_targets = jnp.stack(
         [
@@ -237,22 +262,30 @@ def _mosaic_one(images4, targets4, mask4, key, hyp) -> Tuple[jnp.ndarray, jnp.nd
     return out, out_targets, keep.reshape(4 * M_t)
 
 
-def mosaic_affine_batch(images, targets, mask, key, hyp: Optional[Dict] = None):
+def mosaic_affine_batch(images, targets, mask, key, hyp: Optional[Dict] = None,
+                        mosaic_p: Optional[float] = None):
     """Batched fused mosaic+affine.
 
     images: (B, s, s, 3) float [0,1] (letterboxed); targets: (B, M, 6); mask: (B, M).
-    Each output image mosaics inputs [i, i+1, i+2, i+3 mod B].
+    Each output image mosaics inputs [i, i+1, i+2, i+3 mod B]. Per-image, mosaic
+    engages with probability `mosaic_p` (default hyp["mosaic"], the reference's
+    per-sample gate, dataset.py:357); otherwise that image gets the reference's
+    single-image random affine instead — the affine NEVER silently drops.
     Returns (images (B, s, s, 3), targets (B, 4M, 6), mask (B, 4M)).
     """
     hyp = {**DEFAULT_HYP, **(hyp or {})}
+    if mosaic_p is None:
+        mosaic_p = float(hyp.get("mosaic", 1.0))
     B = images.shape[0]
     idx = (jnp.arange(B)[:, None] + jnp.arange(4)[None, :]) % B  # (B, 4)
     images4 = images[idx]    # (B, 4, s, s, 3)
     targets4 = targets[idx]  # (B, 4, M, 6)
     mask4 = mask[idx]
+    kg, key = jax.random.split(key)
+    gates = jax.random.uniform(kg, (B,)) < mosaic_p
     keys = jax.random.split(key, B)
-    return jax.vmap(lambda im, t, m, k: _mosaic_one(im, t, m, k, hyp))(
-        images4, targets4, mask4, keys
+    return jax.vmap(lambda im, t, m, k, g: _mosaic_one(im, t, m, k, hyp, gate=g))(
+        images4, targets4, mask4, keys, gates
     )
 
 
@@ -307,8 +340,14 @@ def augment_batch_device(images, targets, mask, key, hyp: Optional[Dict] = None,
     """
     hyp = {**DEFAULT_HYP, **(hyp or {})}
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    if use_mosaic:
-        images, targets, mask = mosaic_affine_batch(images, targets, mask, k1, hyp)
+    # the fused stage ALWAYS runs: per-image it is either mosaic+affine (prob
+    # hyp["mosaic"]) or the reference's single-image random affine — matching
+    # the host pipeline, where disabling mosaic does not disable the affine
+    # (dataset.py __getitem__ else-branch). use_mosaic=False forces p=0.
+    images, targets, mask = mosaic_affine_batch(
+        images, targets, mask, k1, hyp,
+        mosaic_p=float(hyp.get("mosaic", 1.0)) if use_mosaic else 0.0,
+    )
     if hyp.get("mixup", 0.0) > 0:
         images, targets, mask = mixup_batch(images, targets, mask, k4,
                                             p=hyp["mixup"])

@@ -82,11 +82,51 @@ def test_mosaic_label_center_mapping():
     targets = jnp.zeros((B, 1, 6)).at[0, 0].set(jnp.array([0, 2.0, 0.5, 0.5, 0.4, 0.4]))
     mask = jnp.zeros((B, 1), bool).at[0, 0].set(True)
     hyp = {"degrees": 0.0, "translate": 0.0, "scale": 0.0, "shear": 0.0}
-    out, t, m = mosaic_affine_batch(images, targets, mask, jax.random.PRNGKey(3), hyp)
-    t, m = np.asarray(t), np.asarray(m)
-    kept = t[0][m[0]]
+    # whether the TL box survives depends on the random mosaic center; across a
+    # handful of keys it must survive at least once, always class-preserving
+    kept_rows = []
+    for seed in range(6):
+        out, t, m = mosaic_affine_batch(
+            images, targets, mask, jax.random.PRNGKey(seed), hyp
+        )
+        t, m = np.asarray(t), np.asarray(m)
+        kept_rows.append(t[0][m[0]])
+    kept = np.concatenate(kept_rows, axis=0)
     assert len(kept) >= 1
     assert np.all(kept[:, 1] == 2.0)  # class preserved
+
+
+def test_single_image_affine_branch():
+    """mosaic_p=0 selects the reference's NON-mosaic branch per image: the same
+    random affine on the single letterboxed image (dataset.py __getitem__
+    else-branch). With an identity affine the image and labels pass through
+    exactly; pixels from the other batch images never leak in; only slot-0
+    labels survive. Regression for the round-3 devaug-parity gap, where
+    disabling mosaic silently dropped the affine stage entirely."""
+    B, s, M = 4, 32, 2
+    vals = np.array([0.2, 0.4, 0.6, 0.8], np.float32)
+    images = jnp.asarray(np.broadcast_to(vals[:, None, None, None], (B, s, s, 3)).copy())
+    targets = jnp.zeros((B, M, 6)).at[:, 0].set(jnp.array([0, 1.0, 0.5, 0.5, 0.5, 0.5]))
+    mask = jnp.zeros((B, M), bool).at[:, 0].set(True)
+    hyp = {"degrees": 0.0, "translate": 0.0, "scale": 0.0, "shear": 0.0}
+    out, t, m = mosaic_affine_batch(images, targets, mask, KEY, hyp, mosaic_p=0.0)
+    out, t, m = np.asarray(out), np.asarray(t), np.asarray(m)
+    # identity affine on the single image: exact pass-through, no leakage
+    np.testing.assert_allclose(out, np.asarray(images), atol=2e-3)
+    # only slot-0 labels survive, unchanged
+    assert m.shape == (B, 4 * M)
+    assert m[:, :M].sum() == B and m[:, M:].sum() == 0
+    kept = t[:, 0]
+    np.testing.assert_allclose(kept[:, 2:], 0.5, atol=1e-5)
+
+    # non-identity: a pure zoom-in keeps the affine alive on the single image
+    hyp2 = {"degrees": 0.0, "translate": 0.0, "scale": 0.0, "shear": 0.0}
+    rng = np.random.default_rng(5)
+    patterned = jnp.asarray(rng.uniform(0, 1, (B, s, s, 3)).astype(np.float32))
+    out0, _, _ = mosaic_affine_batch(patterned, targets, mask, KEY, hyp2, mosaic_p=0.0)
+    hyp3 = {"degrees": 0.0, "translate": 0.0, "scale": 0.4, "shear": 0.0}
+    out3, _, _ = mosaic_affine_batch(patterned, targets, mask, KEY, hyp3, mosaic_p=0.0)
+    assert not np.allclose(np.asarray(out0), np.asarray(out3))
 
 
 def test_full_pipeline_jit_and_shapes():

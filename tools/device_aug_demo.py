@@ -36,6 +36,10 @@ def main():
                         "0, 600ish epochs reach mAP50 ~0.7) so the host-vs-device "
                         "aug delta is measured on a CONVERGED model (VERDICT r2 "
                         "#7) — compares the on-device affine/HSV/flip pipeline")
+    p.add_argument("--modes", default="host_aug,device_aug",
+                   help="comma-separated subset of host_aug,device_aug to (re)run; "
+                        "skipped modes reuse results from an existing "
+                        "device_aug_demo.json in --workdir")
     args = p.parse_args()
 
     if args.cpu:
@@ -68,7 +72,15 @@ def main():
             "scale": 0.2, "translate": 0.05,
         }))
     results = {}
+    out_json = workdir / "device_aug_demo.json"
+    run_modes = {m.strip() for m in args.modes.split(",") if m.strip()}
+    if out_json.exists():  # reuse prior results for modes not being re-run
+        results.update({k: v for k, v in json.loads(out_json.read_text()).items()
+                        if k in ("host_aug", "device_aug") and k not in run_modes})
     for mode, device_aug in [("host_aug", False), ("device_aug", True)]:
+        if mode not in run_modes:
+            print(f"{mode}: reusing prior result {results.get(mode)}")
+            continue
         t0 = time.time()
         _, save_dir = train(
             cfg=cfg, data=str(data_yaml), epochs=args.epochs,
@@ -95,8 +107,8 @@ def main():
     d = abs(results["host_aug"]["map50"] - results["device_aug"]["map50"])
     results["delta_map50_pt"] = round(d * 100, 2)
     print(f"Δ mAP50 host vs device aug: {d*100:.2f}pt")
-    (workdir / "device_aug_demo.json").write_text(json.dumps(results, indent=1))
-    print("wrote", workdir / "device_aug_demo.json")
+    out_json.write_text(json.dumps(results, indent=1))
+    print("wrote", out_json)
 
 
 if __name__ == "__main__":
