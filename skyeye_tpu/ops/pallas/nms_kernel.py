@@ -116,7 +116,11 @@ def pallas_greedy_nms(
     ops.nms._greedy_nms.
     """
     k = boxes.shape[0]
-    pad = (-k) % _SUBLANES  # kernel reshapes candidates to (8, k/8)
+    # kernel reshapes the (1, k) candidate rows to (8, k/8): k/8 is the LANE
+    # dim of that layout, so it must be a multiple of 128 or Mosaic rejects the
+    # shape cast ("infer-vector-layout: unsupported shape cast" — hit at
+    # k=1008, the 128px candidate count). Pad to a multiple of 8*128.
+    pad = (-k) % (_SUBLANES * 128)
     if pad:
         boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
         scores = jnp.pad(scores, (0, pad), constant_values=-1.0)
