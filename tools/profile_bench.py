@@ -12,6 +12,13 @@ inside the bench pipeline"). Two artifacts:
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_bench.py \
            [--img 640] [--batch 8] [--trace-dir profiles]
+
+The pipeline profiled is bench.py's own `_build_pipeline` (so SKYEYE_INT8 /
+SKYEYE_FUSED_CSP env switches profile exactly what bench.py would run). After
+the trace, the xplane is converted through xprof's hlo_stats tool into a
+categorized self-time summary (`hlo_stats_summary.json`): ms by HLO op
+category plus the top ops — the per-stage evidence VERDICT-style reviews ask
+for, produced in one chip run.
 """
 from __future__ import annotations
 
@@ -21,6 +28,38 @@ import re
 import sys
 import time
 from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def summarize_hlo_stats(xplane_paths, n_launches) -> dict:
+    """xplane trace -> {category: ms/launch} + top ops, via xprof hlo_stats."""
+    from xprof.convert import raw_to_tool_data as r
+
+    data, _ = r.xspace_to_tool_data([str(p) for p in xplane_paths],
+                                    "hlo_stats", {})
+    tab = json.loads(data if isinstance(data, str) else data.decode())
+    cols = [c["id"] for c in tab["cols"]]
+    i_cat = cols.index("category")
+    i_name = cols.index("hlo_op_name")
+    i_self = cols.index("total_self_time")
+    i_occ = cols.index("occurrences")
+    by_cat, ops = {}, []
+    for row in tab["rows"]:
+        c = [cell["v"] for cell in row["c"]]
+        ms = float(c[i_self]) / 1000.0 / max(n_launches, 1)
+        by_cat[c[i_cat]] = by_cat.get(c[i_cat], 0.0) + ms
+        ops.append({"op": c[i_name], "category": c[i_cat],
+                    "self_ms_per_launch": round(ms, 4),
+                    "occurrences": int(c[i_occ])})
+    ops.sort(key=lambda o: -o["self_ms_per_launch"])
+    total = sum(by_cat.values())
+    return {
+        "total_device_ms_per_launch": round(total, 3),
+        "ms_by_category": {k: round(v, 3) for k, v in
+                           sorted(by_cat.items(), key=lambda kv: -kv[1])},
+        "top_ops": ops[:25],
+    }
 
 
 def main():
@@ -38,41 +77,12 @@ def main():
 
     print("devices:", jax.devices())
 
-    from functools import partial
+    import bench
+    from skyeye_tpu.ops.packed_stem import s2d4_host
 
-    from skyeye_tpu.config import ModelConfig
-    from skyeye_tpu.models import SkyEyeDetectorModule, decode_predictions
-    from skyeye_tpu.ops.nms import _nms_single_impl
-    from skyeye_tpu.ops.packed_stem import pack_stem_variables, s2d4_host
-    from skyeye_tpu.utils.checkpoint import fuse_conv_bn
-
-    # e.g. --variant l_transformer engages the flash-attention P5 head path
-    name = args.variant
-    kw = {}
-    if name.endswith("_transformer"):
-        name = name[: -len("_transformer")]
-        kw["transformer_heads"] = True
-    cfg = ModelConfig.from_variant(name, nc=10, **kw)
-    module = SkyEyeDetectorModule(config=cfg, dtype=jnp.bfloat16, packed_stem=True)
-    canonical = SkyEyeDetectorModule(config=cfg, dtype=jnp.bfloat16)
-    variables = canonical.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, args.img, args.img, 3), jnp.float32),
-        train=False,
+    pipeline, _burst, module, variables = bench._build_pipeline(
+        args.variant, args.img, 10, args.batch
     )
-    variables = pack_stem_variables(fuse_conv_bn(variables))
-    anchors = jnp.asarray(cfg.anchors)
-
-    @jax.jit
-    def pipeline(frames):
-        x = frames.astype(jnp.bfloat16) / 255.0
-        outs = module.apply(variables, x, train=False)
-        dec = decode_predictions(outs, anchors, (args.img, args.img))
-        det, n = jax.vmap(
-            partial(_nms_single_impl, conf_thres=0.25, iou_thres=0.45,
-                    multi_label=False, agnostic=False, max_det=300, max_nms=4096,
-                    approx_topk=True)  # matches bench.py exactly
-        )(dec)
-        return det, n
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(s2d4_host(
@@ -108,17 +118,30 @@ def main():
         "kernel_names": kernels or named,
     }
 
-    # -- 2. profiler trace ------------------------------------------------------
+    # -- 2. profiler trace + hlo_stats summary ----------------------------------
     if not args.skip_trace:
         args.trace_dir.mkdir(parents=True, exist_ok=True)
         jax.block_until_ready(pipeline(frames))  # warm
+        n_launches = 3
         with jax.profiler.trace(str(args.trace_dir)):
-            for _ in range(3):
+            for _ in range(n_launches):
                 out = pipeline(frames)
             jax.block_until_ready(out)
-        produced = sorted(args.trace_dir.rglob("*.pb*"))
-        print(f"trace written: {[str(f) for f in produced][:4]}")
-        evidence["trace_files"] = [str(f) for f in produced][:8]
+        produced = sorted(args.trace_dir.rglob("*.xplane.pb"),
+                          key=lambda f: f.stat().st_mtime)
+        print(f"trace written: {[str(f) for f in produced][-2:]}")
+        evidence["trace_files"] = [str(f) for f in produced][-4:]
+        try:
+            summary = summarize_hlo_stats(produced[-1:], n_launches)
+            evidence["hlo_stats"] = summary
+            sp = args.trace_dir / "hlo_stats_summary.json"
+            sp.write_text(json.dumps(summary, indent=1))
+            print(f"device ms/launch: {summary['total_device_ms_per_launch']}")
+            for k, v in summary["ms_by_category"].items():
+                print(f"  {v:8.3f} ms  {k}")
+            print("wrote", sp)
+        except Exception as e:  # tool-version drift must not kill the evidence
+            print(f"hlo_stats summary failed: {e}", file=sys.stderr)
 
     out_path = args.trace_dir / "pallas_evidence.json"
     out_path.parent.mkdir(parents=True, exist_ok=True)
