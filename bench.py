@@ -68,13 +68,23 @@ def _build_pipeline(variant: str, img: int, nc: int, batch: int):
     # kernel (ops/pallas/csp_kernel.py csp_fused_v2, halo-DMA variant).
     fused = bool(os.environ.get("SKYEYE_FUSED_CSP"))
     int8 = bool(os.environ.get("SKYEYE_INT8"))
+    # packed stage 1 (ops/packed_csp.py) is the serving default: exact remap,
+    # removes the 2-4x lane-padding HBM waste of the C=32/64 csp1 tensors
+    # (profiles/r3_1280: the 3x3 32->32 alone was 3.1 ms vs 0.26 roofline).
+    # SKYEYE_NO_PACKED_STAGE1=1 opts out; exclusive with fused/int8 paths.
+    pstage1 = not (fused or int8 or os.environ.get("SKYEYE_NO_PACKED_STAGE1"))
     module = SkyEyeDetectorModule(config=cfg, dtype=jnp.bfloat16, packed_stem=True,
-                                  fused_csp=fused, int8_early=int8)
+                                  fused_csp=fused, int8_early=int8,
+                                  packed_stage1=pstage1)
     canonical = SkyEyeDetectorModule(config=cfg, dtype=jnp.bfloat16)
     variables = canonical.init(
         jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3), jnp.float32), train=False
     )
     variables = pack_stem_variables(fuse_conv_bn(variables))
+    if pstage1:
+        from skyeye_tpu.ops.packed_csp import pack_stage1_variables
+
+        variables = pack_stage1_variables(variables)
     if fused:
         from skyeye_tpu.ops.fused_csp import fuse_csp_variables
 
@@ -154,13 +164,28 @@ def measure_tpu() -> dict:
     compile_s = time.time() - t0
     print(f"# compile: {compile_s:.1f}s", file=sys.stderr)
 
-    # analytic forward FLOPs for the MFU figure (XLA cost analysis when available)
+    # analytic forward FLOPs for the MFU figure (traced-jaxpr conv/dot count).
+    # MFU uses the CANONICAL model's FLOPs: the packed-domain serving transforms
+    # (ops/packed_stem.py, ops/packed_csp.py) inflate nominal FLOPs with
+    # structured zeros, and counting those would overstate utilization.
     flops_per_img = None
     try:
-        from skyeye_tpu.utils.profiling import flops_of
+        from skyeye_tpu.config import ModelConfig
+        from skyeye_tpu.models import SkyEyeDetectorModule
+        canon_kw = {}
+        v = VARIANT
+        if v.endswith("_transformer"):
+            v = v[: -len("_transformer")]
+            canon_kw["transformer_heads"] = True
+        canon = SkyEyeDetectorModule(
+            config=ModelConfig.from_variant(v, nc=NC, **canon_kw),
+            dtype=jnp.bfloat16)
+        cvars = canon.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, IMG, IMG, 3), jnp.float32), train=False)
+        from skyeye_tpu.utils.profiling import flops_by_trace
 
-        f = flops_of(lambda fr: module.apply(variables, fr.astype(jnp.bfloat16) / 255.0,
-                                             train=False), frames[0])
+        f = flops_by_trace(lambda fr: canon.apply(cvars, fr, train=False),
+                           jnp.zeros((BATCH, IMG, IMG, 3), jnp.bfloat16))
         if f:
             flops_per_img = f / BATCH
     except Exception as e:

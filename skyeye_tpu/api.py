@@ -253,12 +253,18 @@ class SkyEyeDetector:
     def _packed_model(self):
         if self._packed is None:
             from .models.detector import SkyEyeDetectorModule
+            from .ops.packed_csp import pack_stage1_variables
             from .ops.packed_stem import pack_stem_variables
 
+            # packed stem + packed stage 1 (ops/packed_csp.py): both exact
+            # weight remaps; stage 1 otherwise pays 2-4x lane-padding HBM
+            # waste at C=32/64 (profiles/r3_1280)
             module = SkyEyeDetectorModule(
-                config=self.config, dtype=self.module.dtype, packed_stem=True
+                config=self.config, dtype=self.module.dtype, packed_stem=True,
+                packed_stage1=True,
             )
-            self._packed = (module, pack_stem_variables(self.variables))
+            self._packed = (module, pack_stage1_variables(
+                pack_stem_variables(self.variables)))
         return self._packed
 
     def _pipeline_canonical(self, out_shape: Tuple[int, int], multi_label: bool,

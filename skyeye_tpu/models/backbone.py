@@ -62,6 +62,11 @@ class CSPDarknet(nn.Module):
     # variables from ops.int8_stage.quantize_early_variables. Requires
     # packed_stem.
     int8_early: bool = False
+    # Serving-path packed stage 1: csp1 + down2 run in a 2x2-s2d packed layout
+    # at full 128-lane utilization (ops/packed_csp.py; exact weight remap via
+    # pack_stage1_variables — the stage-1 C=32/64 tensors otherwise pay 2-4x
+    # lane-padding HBM waste, measured profiles/r3_1280).
+    packed_stage1: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
@@ -99,17 +104,28 @@ class CSPDarknet(nn.Module):
                                name="stem")(x, train)
                 x = ConvBlock(c2, 3, stride=2, dtype=self.dtype,
                               name="down1")(x, train)
-            if self.fused_csp:
+            if self.packed_stage1:
+                assert not (self.fused_csp or self.int8_early), (
+                    "packed_stage1 is exclusive with fused_csp/int8_early")
+                from ..ops.packed_csp import PackedStage1
+
+                # csp1 + down2 in one packed-domain stage (emits canonical /8)
+                x = PackedStage1(c2=c2, c3=c3, num_blocks=scaled_depth(3, d),
+                                 dtype=self.dtype, name="packed_stage1")(x, train)
+            elif self.fused_csp:
                 from ..ops.fused_csp import FusedCSPBlock
 
                 x = FusedCSPBlock(c2, scaled_depth(3, d), dtype=self.dtype,
                                   name="csp1")(x, train)
+                x = ConvBlock(c3, 3, stride=2, dtype=self.dtype,
+                              name="down2")(x, train)
             else:
                 x = CSPBlock(c2, scaled_depth(3, d), dtype=self.dtype,
                              name="csp1")(x, train)
+                x = ConvBlock(c3, 3, stride=2, dtype=self.dtype,
+                              name="down2")(x, train)
 
             # Stage 2 (/8) -> P3
-            x = ConvBlock(c3, 3, stride=2, dtype=self.dtype, name="down2")(x, train)
             p3 = CSPBlock(c3, scaled_depth(9, d), dtype=self.dtype,
                           name="csp2")(x, train)
 

@@ -42,6 +42,9 @@ class SkyEyeDetectorModule(nn.Module):
     # serving-path int8 PTQ early backbone (ops/int8_stage.py); use with
     # variables from quantize_early_variables (calibrated; requires packed_stem)
     int8_early: bool = False
+    # serving-path packed stage 1 (ops/packed_csp.py); use with variables
+    # transformed by pack_stage1_variables — numerically exact full-lane csp1
+    packed_stage1: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
@@ -54,6 +57,7 @@ class SkyEyeDetectorModule(nn.Module):
             packed_stem=self.packed_stem,
             fused_csp=self.fused_csp,
             int8_early=self.int8_early,
+            packed_stage1=self.packed_stage1,
             name="backbone",
         )(x, train)
 

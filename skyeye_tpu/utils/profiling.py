@@ -53,6 +53,57 @@ def flops_of(fn: Callable, *args) -> Optional[float]:
         return None
 
 
+def flops_by_trace(fn: Callable, *args) -> Optional[float]:
+    """Analytic conv/dot FLOP count from the traced jaxpr (no compile — safe to
+    call with a slow remote-compile backend; matches XLA cost analysis on the
+    matmul/conv terms, which dominate detector forwards)."""
+    import numpy as np
+
+    try:
+        jaxpr = jax.make_jaxpr(fn)(*args).jaxpr
+    except Exception as e:
+        LOGGER.debug("trace for FLOP count failed: %s", e)
+        return None
+
+    total = 0.0
+
+    def walk(jx):
+        nonlocal total
+        for eqn in jx.eqns:
+            prim = eqn.primitive.name
+            if prim == "conv_general_dilated":
+                out = eqn.outvars[0].aval
+                rhs = eqn.invars[1].aval
+                dn = eqn.params["dimension_numbers"]
+                fgc = eqn.params.get("feature_group_count", 1)
+                cin_g = rhs.shape[dn.rhs_spec[1]]
+                cout = rhs.shape[dn.rhs_spec[0]]
+                spatial_out = int(np.prod([out.shape[d] for d in dn.out_spec[2:]]))
+                batch = out.shape[dn.out_spec[0]]
+                k_sp = int(np.prod([rhs.shape[d] for d in dn.rhs_spec[2:]]))
+                total += 2.0 * batch * spatial_out * cout * cin_g * k_sp
+            elif prim == "dot_general":
+                lhs, rhs = (v.aval for v in eqn.invars[:2])
+                (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+                m = int(np.prod([d for i, d in enumerate(lhs.shape)
+                                 if i not in set(lc) | set(lb)]))
+                k = int(np.prod([lhs.shape[i] for i in lc]))
+                n = int(np.prod([d for i, d in enumerate(rhs.shape)
+                                 if i not in set(rc) | set(rb)]))
+                b = int(np.prod([lhs.shape[i] for i in lb]))
+                total += 2.0 * b * m * n * k
+            for sub in eqn.params.values():
+                if hasattr(sub, "jaxpr"):
+                    walk(sub.jaxpr)
+                elif isinstance(sub, (list, tuple)):
+                    for t in sub:
+                        if hasattr(t, "jaxpr"):
+                            walk(t.jaxpr)
+
+    walk(jaxpr)
+    return total or None
+
+
 def count_params(params) -> int:
     return sum(int(np.prod(np.shape(p))) for p in jax.tree_util.tree_leaves(params))
 

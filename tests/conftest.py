@@ -23,6 +23,9 @@ _MODULE_MARKS = {
     "test_train": ("slow",),
     "test_device_aug": ("slow",),
     "test_video": ("slow",),
+    # bucketed-API + int8 suites each cost 45-80 s of compiles: full-lane only
+    "test_api_buckets": ("slow",),
+    "test_int8_stage": ("slow",),
 }
 
 

@@ -3,6 +3,7 @@ import sys
 from pathlib import Path
 
 import jax
+import pytest
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
@@ -50,6 +51,7 @@ def test_bench_pipeline_traces():
     assert n.shape == (BATCH,)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_runs():
     import __graft_entry__ as ge
 

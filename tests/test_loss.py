@@ -157,6 +157,7 @@ def test_compute_loss_empty_targets():
     assert float(aux[1]) > 0  # obj loss pushes background down
 
 
+@pytest.mark.slow
 def test_compute_loss_gradients_flow_and_reduce_loss():
     """One SGD step on the raw prediction tensors must reduce the loss (jitted)."""
     anchors = jnp.asarray(DEFAULT_ANCHORS)
