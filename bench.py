@@ -80,11 +80,15 @@ def _build_pipeline(variant: str, img: int, nc: int, batch: int):
     variables = canonical.init(
         jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3), jnp.float32), train=False
     )
-    variables = pack_stem_variables(fuse_conv_bn(variables))
+    variables = fuse_conv_bn(variables)
     if pstage1:
         from skyeye_tpu.ops.packed_csp import pack_stage1_variables
 
-        variables = pack_stage1_variables(variables)
+        # down1_p2p: down1 emits the 2x2-s2d layout PackedStage1 consumes
+        variables = pack_stage1_variables(
+            pack_stem_variables(variables, down1_p2p=True))
+    else:
+        variables = pack_stem_variables(variables)
     if fused:
         from skyeye_tpu.ops.fused_csp import fuse_csp_variables
 
@@ -112,17 +116,30 @@ def _build_pipeline(variant: str, img: int, nc: int, batch: int):
         print("# int8 early backbone ENABLED (stages 1-2)", file=sys.stderr)
     anchors = jnp.asarray(cfg.anchors)
 
+    # late decode (ops/late_decode.py) is the serving default: candidate cut on
+    # RAW head logits, decode only the ~4k survivors — skips the (*, no)-minor
+    # lane-padded full-decode intermediates (~8.5x logical bytes in HBM copies
+    # at no=15; profiles/r3_1280 copy.76/78/81). SKYEYE_NO_LATE_DECODE=1 opts
+    # back into decode-everything-then-cut for A/B.
+    late = not os.environ.get("SKYEYE_NO_LATE_DECODE")
+
     def body(frames):  # uint8 (B, H/4, W/4, 48) host-packed (s2d4_host)
         x = frames.astype(jnp.bfloat16) / 255.0
         outs = module.apply(variables, x, train=False)
-        # serving: skip the reference-order transpose (row order is
-        # irrelevant to NMS; saves a ~75 MB relayout per batch)
-        dec = decode_predictions(outs, anchors, (img, img), anchor_major=False)
-        det, n = jax.vmap(
+        if late:
+            from skyeye_tpu.ops.late_decode import late_decode_nms
+
             # approx_max_k: the exact lax.top_k over ~100k candidate scores was
             # 38% of pipeline time (sort-bound; profiles/trace_1280); the
             # TPU-native approximate top-k is the serving-mode candidate cut
             # (exact-vs-approx mAP delta measured on chip: BASELINE.md)
+            return late_decode_nms(outs, anchors, (img, img), conf_thres=0.25,
+                                   iou_thres=0.45, max_det=300, max_nms=4096,
+                                   approx_topk=True)
+        # serving: skip the reference-order transpose (row order is
+        # irrelevant to NMS; saves a ~75 MB relayout per batch)
+        dec = decode_predictions(outs, anchors, (img, img), anchor_major=False)
+        det, n = jax.vmap(
             partial(_nms_single_impl, conf_thres=0.25, iou_thres=0.45,
                     multi_label=False, agnostic=False, max_det=300, max_nms=4096,
                     approx_topk=True)

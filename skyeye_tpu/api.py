@@ -235,6 +235,17 @@ class SkyEyeDetector:
             x = letterbox_batch_jax(frames, out_shape) / 255.0
             x = x.astype(module.dtype)
             outs = module.apply(variables, x, train=False)
+            if approx and not multi_label:
+                # serving fast path: candidate cut on raw logits, decode only
+                # survivors (ops/late_decode.py) — skips the lane-padded full
+                # decode. Exact mode (approx_topk=False) keeps the canonical
+                # global-cut ordering for reference parity.
+                from .ops.late_decode import late_decode_nms
+
+                return late_decode_nms(
+                    outs, anchors, out_shape, conf_thres=conf, iou_thres=iou,
+                    agnostic=agnostic, max_det=max_det, max_nms=4096,
+                    approx_topk=True)
             dec = decode_predictions(outs, anchors, out_shape,
                                      anchor_major=False)
             det, n = jax.vmap(
@@ -264,7 +275,7 @@ class SkyEyeDetector:
                 packed_stage1=True,
             )
             self._packed = (module, pack_stage1_variables(
-                pack_stem_variables(self.variables)))
+                pack_stem_variables(self.variables, down1_p2p=True)))
         return self._packed
 
     def _pipeline_canonical(self, out_shape: Tuple[int, int], multi_label: bool,
@@ -284,6 +295,13 @@ class SkyEyeDetector:
         def run(frames):
             x = frames.astype(module.dtype) / 255.0
             outs = module.apply(variables, x, train=False)
+            if approx and not multi_label:
+                from .ops.late_decode import late_decode_nms
+
+                return late_decode_nms(
+                    outs, anchors, out_shape, conf_thres=conf, iou_thres=iou,
+                    agnostic=agnostic, max_det=max_det, max_nms=4096,
+                    approx_topk=True)
             dec = decode_predictions(outs, anchors, out_shape,
                                      anchor_major=False)
             det, n = jax.vmap(

@@ -114,12 +114,21 @@ def run(
     def infer(frames, in_h, in_w):
         x = frames.astype(dtype) / 255.0
         outs = detector.module.apply(detector.variables, x, train=False)
+        if not exact_nms:
+            # serving default: candidate cut on the RAW head logits + approx
+            # top-k, decode only survivors (ops/late_decode.py) — skips both
+            # the lane-padded full decode and the exact TPU sort (measured 38%
+            # of the pipeline). --exact-nms restores the reference's
+            # decode-everything + exact-ranking path.
+            from ..ops.late_decode import late_decode_nms
+
+            return late_decode_nms(
+                outs, anchors_dev, (in_h, in_w), conf_thres=conf_thres,
+                iou_thres=iou_thres, agnostic=agnostic_nms, max_det=max_det,
+                max_nms=4096, approx_topk=True, class_mask=class_mask_dev)
         dec = decode_predictions(outs, anchors_dev, (in_h, in_w),
                                  anchor_major=False)
         return jax.vmap(
-            # serving default: approximate top-k candidate cut (exact top-k is a
-            # TPU sort — measured 38% of the pipeline; mAP eval keeps exact).
-            # --exact-nms restores the reference's exact candidate ranking.
             partial(_nms_single_impl, conf_thres=conf_thres, iou_thres=iou_thres,
                     multi_label=False, agnostic=agnostic_nms, max_det=max_det,
                     max_nms=4096, class_mask=class_mask_dev,

@@ -97,8 +97,14 @@ class CSPDarknet(nn.Module):
                     x = s2d4_device(x)
                 x = ConvBlock(4 * c1, 3, stride=1, dtype=self.dtype,
                               name="stem")(x, train)
-                x = ConvBlock(c2, 2, stride=1, padding=((1, 0), (1, 0)),
-                              dtype=self.dtype, name="down1")(x, train)
+                if self.packed_stage1:
+                    # packed-in/packed-out down1 (pack_down1_p2p_kernel): emits
+                    # the 2x2-s2d layout PackedStage1 consumes — no transpose
+                    x = ConvBlock(4 * c2, 3, stride=2, padding=((1, 0), (1, 0)),
+                                  dtype=self.dtype, name="down1")(x, train)
+                else:
+                    x = ConvBlock(c2, 2, stride=1, padding=((1, 0), (1, 0)),
+                                  dtype=self.dtype, name="down1")(x, train)
             else:
                 x = FocusBlock(c1, kernel_size=3, dtype=self.dtype,
                                name="stem")(x, train)
@@ -109,8 +115,10 @@ class CSPDarknet(nn.Module):
                     "packed_stage1 is exclusive with fused_csp/int8_early")
                 from ..ops.packed_csp import PackedStage1
 
-                # csp1 + down2 in one packed-domain stage (emits canonical /8)
+                # csp1 + down2 in one packed-domain stage (emits canonical /8);
+                # with packed_stem the input is already 2x2-s2d packed (p2p down1)
                 x = PackedStage1(c2=c2, c3=c3, num_blocks=scaled_depth(3, d),
+                                 packed_input=self.packed_stem,
                                  dtype=self.dtype, name="packed_stage1")(x, train)
             elif self.fused_csp:
                 from ..ops.fused_csp import FusedCSPBlock

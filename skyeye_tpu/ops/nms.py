@@ -109,6 +109,32 @@ def greedy_nms(offset_boxes, scores, iou_thres: float, max_det: int):
     return _greedy_nms(offset_boxes, scores, iou_thres, max_det)
 
 
+def suppress_candidates(cand_boxes, cand_scores, cand_cls, iou_thres: float,
+                        max_det: int, agnostic: bool = False):
+    """Class-offset greedy suppression + fixed-shape output assembly for one
+    image's candidate set (post candidate-cut). Shared by the canonical
+    decode-then-cut path below and the late-decode serving path
+    (ops/late_decode.py).
+
+    cand_boxes: (k, 4) xyxy; cand_scores: (k,) with invalid = -1; cand_cls: (k,).
+    Returns ((max_det, 6) [x1, y1, x2, y2, conf, cls], () int32 valid count).
+    """
+    # Class-offset trick for class-aware suppression (metrics.py:438-439).
+    offset = jnp.where(agnostic, 0.0, cand_cls * _MAX_WH)
+    offset_boxes = cand_boxes + offset[:, None]
+
+    keep_idx, keep_valid = greedy_nms(offset_boxes, cand_scores, iou_thres, max_det)
+
+    out_boxes = cand_boxes[keep_idx]
+    out_scores = cand_scores[keep_idx]
+    out_cls = cand_cls[keep_idx]
+    det = jnp.concatenate(
+        [out_boxes, out_scores[:, None], out_cls[:, None]], axis=1
+    )
+    det = jnp.where(keep_valid[:, None], det, 0.0)
+    return det, keep_valid.sum().astype(jnp.int32)
+
+
 def _nms_single_impl(
     prediction,
     conf_thres: float = 0.25,
@@ -174,20 +200,9 @@ def _nms_single_impl(
         cand_scores = top_scores
         cand_cls = best_cls[top_idx].astype(jnp.float32)
 
-    # Class-offset trick for class-aware suppression (metrics.py:438-439).
-    offset = jnp.where(agnostic, 0.0, cand_cls * _MAX_WH)
-    offset_boxes = cand_boxes + offset[:, None]
-
-    keep_idx, keep_valid = greedy_nms(offset_boxes, cand_scores, iou_thres, max_det)
-
-    out_boxes = cand_boxes[keep_idx]
-    out_scores = cand_scores[keep_idx]
-    out_cls = cand_cls[keep_idx]
-    det = jnp.concatenate(
-        [out_boxes, out_scores[:, None], out_cls[:, None]], axis=1
-    )
-    det = jnp.where(keep_valid[:, None], det, 0.0)
-    return det, keep_valid.sum().astype(jnp.int32)
+    return suppress_candidates(cand_boxes, cand_scores, cand_cls,
+                               iou_thres=iou_thres, max_det=max_det,
+                               agnostic=agnostic)
 
 
 nms_single = partial(

@@ -129,12 +129,16 @@ class PackedStage1(nn.Module):
     c2: int
     c3: int
     num_blocks: int = 1
+    # input already in the 2x2-s2d packed layout (B, H/2, W/2, 4*c2) — the
+    # packed_stem + pack_down1_p2p_kernel path; skips the on-device s2d2
+    packed_input: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = self.c2 // 2  # csp hidden (expansion 0.5)
-        x = s2d2_device(x)  # (B, H/2, W/2, 4*c2)
+        if not self.packed_input:
+            x = s2d2_device(x)  # (B, H/2, W/2, 4*c2)
         y = ConvBlock(8 * h, 1, 1, dtype=self.dtype, name="cv12")(x, train)
         y1, y2 = y[..., : 4 * h], y[..., 4 * h :]
         for i in range(self.num_blocks):

@@ -87,20 +87,59 @@ def pack_down1_kernel(kd: np.ndarray) -> np.ndarray:
     return out
 
 
-def pack_stem_variables(variables: Dict) -> Dict:
+def pack_down1_p2p_kernel(kd: np.ndarray) -> np.ndarray:
+    """(3, 3, c1, c2) stride-2 pad-1 kernel -> (3, 3, 4*c1, 4*c2) stride-2
+    pad-((1,0),(1,0)) kernel: packed-in AND packed-out down1.
+
+    Consumes the 2x2-s2d packed stem output and emits the 2x2-s2d packing of
+    the canonical down1 output — the exact layout ops.packed_csp.PackedStage1
+    consumes, so the inter-stage s2d2 transpose (a ~2 ms/batch16 relayout pair
+    at 1280px, profiles/r3_1280 copy.67/copy.68) disappears entirely.
+
+    Derivation: packed output block (I, J) phase (a, b) is canonical out
+    (2I+a, 2J+b), reading canonical input (4I+2a+r-1, 4J+2b+s-1); writing
+    2a+r-1 = 2u+dy gives input block (2I+u, 2J+v) phase (dy, dx) — a 3-tap
+    stride-2 conv over input blocks with (u, dy) = divmod(2a+r-1, 2)."""
+    kd = np.asarray(kd)
+    assert kd.shape[:2] == (3, 3), kd.shape
+    c1, c2 = kd.shape[2], kd.shape[3]
+    out = np.zeros((3, 3, 4 * c1, 4 * c2), kd.dtype)
+    for a in range(2):
+        for b in range(2):
+            for r in range(3):
+                u, dy = divmod(2 * a + r - 1, 2)
+                for s in range(3):
+                    v, dx = divmod(2 * b + s - 1, 2)
+                    ci = (dy * 2 + dx) * c1
+                    co = (a * 2 + b) * c2
+                    out[u + 1, v + 1, ci : ci + c1, co : co + c2] = kd[r, s]
+    return out
+
+
+def pack_stem_variables(variables: Dict, down1_p2p: bool = False) -> Dict:
     """Transform canonical detector variables into the packed-stem form expected by
     modules built with packed_stem=True: stem kernel 6x6 -> 3x3 s2d (BN leaves tiled
     4x), down1 kernel 3x3 -> 2x2 s2d. Works on fused (fuse_conv_bn) or raw
-    variables; all other leaves pass through untouched."""
+    variables; all other leaves pass through untouched.
+
+    With `down1_p2p=True` (pair with packed_stage1=True modules), down1 is
+    remapped packed-in/packed-out (pack_down1_p2p_kernel, BN tiled 4x) so its
+    output feeds PackedStage1 with no inter-stage transpose."""
     import copy
 
     out = copy.deepcopy(jax.tree_util.tree_map(np.asarray, variables))
     bb_p = out["params"]["backbone"]
     bb_p["stem"]["conv"]["kernel"] = pack_stem_kernel(bb_p["stem"]["conv"]["kernel"])
-    bb_p["down1"]["conv"]["kernel"] = pack_down1_kernel(bb_p["down1"]["conv"]["kernel"])
+    d1_pack = pack_down1_p2p_kernel if down1_p2p else pack_down1_kernel
+    bb_p["down1"]["conv"]["kernel"] = d1_pack(bb_p["down1"]["conv"]["kernel"])
     for tree in (out["params"], out.get("batch_stats", {})):
         stem_bn = tree.get("backbone", {}).get("stem", {}).get("bn")
         if stem_bn:
             for k in stem_bn:
                 stem_bn[k] = np.tile(stem_bn[k], 4)
+        if down1_p2p:
+            d1_bn = tree.get("backbone", {}).get("down1", {}).get("bn")
+            if d1_bn:
+                for k in d1_bn:
+                    d1_bn[k] = np.tile(d1_bn[k], 4)
     return out

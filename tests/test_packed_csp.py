@@ -80,7 +80,7 @@ def test_packed_stage1_full_model_matches_canonical():
 
     packed = SkyEyeDetectorModule(config=cfg, packed_stem=True,
                                   packed_stage1=True)
-    pvars = pack_stage1_variables(pack_stem_variables(variables))
+    pvars = pack_stage1_variables(pack_stem_variables(variables, down1_p2p=True))
     xp = jnp.asarray(s2d4_host(img), jnp.float32) / 255.0
     got = packed.apply(pvars, xp, train=False)
     for r, g in zip(ref, got):
@@ -101,7 +101,7 @@ def test_packed_stage1_after_bn_fold():
 
     packed = SkyEyeDetectorModule(config=cfg, packed_stem=True,
                                   packed_stage1=True)
-    got = packed.apply(pack_stage1_variables(pack_stem_variables(fused)), x,
+    got = packed.apply(pack_stage1_variables(pack_stem_variables(fused, down1_p2p=True)), x,
                        train=False)
     for r, g in zip(ref, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
@@ -121,7 +121,7 @@ def test_packed_stage1_multi_block_variant():
 
     packed = SkyEyeDetectorModule(config=cfg, packed_stem=True,
                                   packed_stage1=True)
-    got = packed.apply(pack_stage1_variables(pack_stem_variables(variables)),
+    got = packed.apply(pack_stage1_variables(pack_stem_variables(variables, down1_p2p=True)),
                        x, train=False)
     for r, g in zip(ref, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),

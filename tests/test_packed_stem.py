@@ -70,3 +70,26 @@ def test_packed_stem_matches_after_bn_fold():
     got = packed.apply(pack_stem_variables(fused), x, train=False)
     for r, g in zip(ref, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-4, atol=2e-5)
+
+
+def test_pack_down1_p2p_kernel_matches_conv():
+    """Packed-in/packed-out down1 == canonical 3x3/2 conv (exact remap)."""
+    import jax
+    import jax.numpy as jnp
+    from skyeye_tpu.ops.packed_csp import s2d2_device
+    from skyeye_tpu.ops.packed_stem import pack_down1_p2p_kernel
+
+    rng = np.random.default_rng(5)
+    k = rng.normal(size=(3, 3, 6, 5)).astype(np.float32)
+    x = rng.normal(size=(2, 16, 12, 6)).astype(np.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, k, (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # (2, 8, 6, 5) canonical
+    xp = np.asarray(s2d2_device(jnp.asarray(x)))     # (2, 8, 6, 24) packed in
+    got = jax.lax.conv_general_dilated(
+        xp, pack_down1_p2p_kernel(k), (2, 2), [(1, 0), (1, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # (2, 4, 3, 20) packed out
+    B, Hp, Wp, _ = got.shape
+    g = np.asarray(got).reshape(B, Hp, Wp, 2, 2, 5)
+    g = np.moveaxis(g, 3, 2).reshape(B, Hp * 2, Wp * 2, 5)
+    np.testing.assert_allclose(g, np.asarray(ref), rtol=1e-4, atol=1e-4)
