@@ -21,7 +21,8 @@ pipeline measured on this host's CPU (no CUDA GPU exists in this environment; th
 reference publishes no numbers — BASELINE.md). The torch number is cached in
 .bench_baseline.json so repeat runs skip the slow CPU measurement.
 
-Extra configs (BASELINE.json #2/#3) run with --config transformer1280 | tiled4k
+Extra configs (BASELINE.json #1/#2/#3/#5) run with
+--config single640 | transformer1280 | tiled4k | train640
 (not part of the driver's default invocation; results recorded in BASELINE.md).
 """
 from __future__ import annotations
@@ -117,7 +118,7 @@ def _build_pipeline(variant: str, img: int, nc: int, batch: int):
     anchors = jnp.asarray(cfg.anchors)
 
     # late decode (ops/late_decode.py) is the serving default: candidate cut on
-    # RAW head logits, decode only the ~4k survivors — skips the (*, no)-minor
+    # RAW head logits, decode only the ~1k survivors — skips the (*, no)-minor
     # lane-padded full-decode intermediates (~8.5x logical bytes in HBM copies
     # at no=15; profiles/r3_1280 copy.76/78/81). SKYEYE_NO_LATE_DECODE=1 opts
     # back into decode-everything-then-cut for A/B.
@@ -134,14 +135,14 @@ def _build_pipeline(variant: str, img: int, nc: int, batch: int):
             # TPU-native approximate top-k is the serving-mode candidate cut
             # (exact-vs-approx mAP delta measured on chip: BASELINE.md)
             return late_decode_nms(outs, anchors, (img, img), conf_thres=0.25,
-                                   iou_thres=0.45, max_det=300, max_nms=4096,
+                                   iou_thres=0.45, max_det=300, max_nms=1024,
                                    approx_topk=True)
         # serving: skip the reference-order transpose (row order is
         # irrelevant to NMS; saves a ~75 MB relayout per batch)
         dec = decode_predictions(outs, anchors, (img, img), anchor_major=False)
         det, n = jax.vmap(
             partial(_nms_single_impl, conf_thres=0.25, iou_thres=0.45,
-                    multi_label=False, agnostic=False, max_det=300, max_nms=4096,
+                    multi_label=False, agnostic=False, max_det=300, max_nms=1024,
                     approx_topk=True)
         )(dec)
         return det, n
@@ -437,6 +438,115 @@ def measure_tiled_4k(batch: int = 2) -> dict:
     }
 
 
+def measure_single_640(batch: int = 1) -> dict:
+    """BASELINE config #1: skyeye_s single-image inference at 640px
+    (s2d-pack -> backbone -> heads -> decode -> NMS in one launch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from skyeye_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from skyeye_tpu.ops.packed_stem import s2d4_host
+
+    pipeline, _, _, _ = _build_pipeline(VARIANT, 640, NC, batch)
+    rng = np.random.default_rng(0)
+    frames = [
+        jnp.asarray(s2d4_host(
+            rng.integers(0, 255, (batch, 640, 640, 3)).astype(np.uint8)))
+        for _ in range(2)
+    ]
+    t0 = time.time()
+    jax.block_until_ready(pipeline(frames[0]))
+    compile_s = time.time() - t0
+
+    times = []
+    for i in range(16):
+        t0 = time.perf_counter()
+        jax.block_until_ready(pipeline(frames[i % 2]))
+        times.append(time.perf_counter() - t0)
+    lat_ms = float(np.median(times)) * 1000
+
+    K = 32
+    t0 = time.perf_counter()
+    outs = [pipeline(frames[i % 2]) for i in range(K)]
+    jax.block_until_ready(outs)
+    ips = batch * K / (time.perf_counter() - t0)
+    return {
+        "metric": f"skyeye_{VARIANT} single-image inference @640px "
+                  "(pack+fwd+decode+NMS, one launch)",
+        "value": round(lat_ms, 2), "unit": "ms/image",
+        "pipelined_images_per_s": round(ips, 1),
+        "compile_s": round(compile_s, 1), "cached": False,
+    }
+
+
+def measure_train_640(batch: int = 16, steps: int = 24) -> dict:
+    """BASELINE config #5 protocol: skyeye_s train-step throughput at 640px
+    batch 16 (fwd+bwd+optimizer+EMA in one launch; runtime-scalar schedules
+    as shipped by cli/train)."""
+    import jax
+    import jax.numpy as jnp
+
+    from skyeye_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from skyeye_tpu.config import DEFAULT_HYP, ModelConfig
+    from skyeye_tpu.losses import ComputeLoss
+    from skyeye_tpu.models import SkyEyeDetectorModule
+    from skyeye_tpu.train import (
+        build_optimizer_runtime, create_train_state, host_schedule,
+        make_train_step,
+    )
+
+    cfg = ModelConfig.from_variant(VARIANT, nc=NC)
+    module = SkyEyeDetectorModule(config=cfg)
+    variables = module.init(jax.random.PRNGKey(0),
+                            jnp.zeros((2, 640, 640, 3)), train=True)
+    loss_fn = ComputeLoss(jnp.asarray(cfg.anchors), cfg.nc)
+    tx = build_optimizer_runtime(DEFAULT_HYP, variables["params"],
+                                 batch_size=batch)
+    sched = host_schedule(DEFAULT_HYP, epochs=100, steps_per_epoch=100)
+    state = create_train_state(variables, tx)
+    step = jax.jit(make_train_step(module, loss_fn, tx))
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.uniform(0, 1, (batch, 640, 640, 3)).astype(np.float32))
+    targets = np.zeros((batch, 32, 6), np.float32)
+    mask = np.zeros((batch, 32), bool)
+    for b in range(batch):
+        for t in range(8):
+            targets[b, t] = [0, rng.integers(0, NC), rng.uniform(0.2, 0.8),
+                             rng.uniform(0.2, 0.8), rng.uniform(0.05, 0.2),
+                             rng.uniform(0.05, 0.2)]
+            mask[b, t] = True
+    batch_d = {
+        "images": images, "targets": jnp.asarray(targets),
+        "mask": jnp.asarray(mask),
+        "n_valid": jnp.asarray(batch, jnp.int32),
+        "opt_hyperparams": {k: jnp.float32(v) for k, v in sched(0).items()},
+    }
+    t0 = time.time()
+    state, _ = step(state, batch_d)
+    jax.block_until_ready(state.params)
+    compile_s = time.time() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, batch_d)
+    jax.block_until_ready(state.params)
+    dt = (time.perf_counter() - t0) / steps
+    assert np.isfinite(float(metrics["loss"]))
+    return {
+        "metric": f"skyeye_{VARIANT} train step @640px b{batch} "
+                  "(fwd+bwd+optimizer+EMA, one launch)",
+        "value": round(batch / dt, 1), "unit": "images/sec",
+        "ms_per_step": round(dt * 1000, 1),
+        "compile_s": round(compile_s, 1), "cached": False,
+    }
+
+
 def measure_torch_reference() -> float:
     """Repaired reference torch pipeline on host CPU (cached)."""
     if BASELINE_CACHE.exists():
@@ -523,7 +633,9 @@ def main():
                               "unit": "images/sec", "error": "TPU unreachable"}))
             return
         fn = {"transformer1280": measure_transformer_1280,
-              "tiled4k": measure_tiled_4k}[which]
+              "tiled4k": measure_tiled_4k,
+              "single640": measure_single_640,
+              "train640": measure_train_640}[which]
         print(json.dumps(fn()))
         return
 

@@ -27,7 +27,7 @@ import numpy as np
 from .config import ModelConfig
 from .models.head import decode_predictions
 from .ops.letterbox import letterbox_params
-from .ops.nms import _nms_single_impl
+from .ops.nms import _nms_single_impl, serving_max_nms
 from .utils.general import LOGGER, check_img_size
 from .utils.visualization import Annotator, colors
 
@@ -244,7 +244,7 @@ class SkyEyeDetector:
 
                 return late_decode_nms(
                     outs, anchors, out_shape, conf_thres=conf, iou_thres=iou,
-                    agnostic=agnostic, max_det=max_det, max_nms=4096,
+                    agnostic=agnostic, max_det=max_det, max_nms=serving_max_nms(conf),
                     approx_topk=True)
             dec = decode_predictions(outs, anchors, out_shape,
                                      anchor_major=False)
@@ -253,7 +253,7 @@ class SkyEyeDetector:
                     _nms_single_impl,
                     conf_thres=conf, iou_thres=iou, multi_label=multi_label,
                     agnostic=agnostic, max_det=max_det,
-                    max_nms=4096, approx_topk=approx,
+                    max_nms=serving_max_nms(conf), approx_topk=approx,
                 )
             )(dec)
             return det, n
@@ -300,7 +300,7 @@ class SkyEyeDetector:
 
                 return late_decode_nms(
                     outs, anchors, out_shape, conf_thres=conf, iou_thres=iou,
-                    agnostic=agnostic, max_det=max_det, max_nms=4096,
+                    agnostic=agnostic, max_det=max_det, max_nms=serving_max_nms(conf),
                     approx_topk=True)
             dec = decode_predictions(outs, anchors, out_shape,
                                      anchor_major=False)
@@ -308,7 +308,7 @@ class SkyEyeDetector:
                 partial(
                     _nms_single_impl,
                     conf_thres=conf, iou_thres=iou, multi_label=multi_label,
-                    agnostic=agnostic, max_det=max_det, max_nms=4096,
+                    agnostic=agnostic, max_det=max_det, max_nms=serving_max_nms(conf),
                     approx_topk=approx,
                 )
             )(dec)

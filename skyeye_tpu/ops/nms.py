@@ -46,6 +46,20 @@ def _pallas_nms_enabled() -> bool:
 # (metrics.py:438: `c = x[:, 5:6] * max_wh`).
 _MAX_WH = 7680.0
 
+# Pre-NMS candidate budgets. The budget sizes the whole post-head tail (top-k,
+# survivor gather/decode, kernel operands); at serving confidence real images
+# yield well under 1k candidates, and shrinking 4096 -> 1024 bought 35 img/s
+# e2e @1280 b16 at a measured mAP50 delta of -0.01 pt on converged weights
+# (serving conf 0.25, BASELINE.md round-3 table). Eval-like confidences keep
+# the large budget: at conf ~0.001 the candidate set genuinely is thousands.
+SERVING_MAX_NMS = 1024
+EVAL_MAX_NMS = 4096
+
+
+def serving_max_nms(conf_thres: float) -> int:
+    """Candidate budget for a serving pipeline at the given confidence gate."""
+    return SERVING_MAX_NMS if conf_thres >= 0.1 else EVAL_MAX_NMS
+
 
 def _greedy_nms(boxes, scores, iou_thres: float, max_det: int):
     """Greedy NMS over fixed-size candidate set.

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .nms import _nms_single_impl
+from .nms import _nms_single_impl, serving_max_nms
 
 
 def tile_grid(frame_hw: Tuple[int, int], tile: int, overlap: float = 0.2) -> np.ndarray:
@@ -130,7 +130,8 @@ def detect_tiled(
         partial(
             _nms_single_impl,
             conf_thres=conf_thres, iou_thres=iou_thres, multi_label=False,
-            agnostic=False, max_det=max_det_tile, max_nms=4096,
+            agnostic=False, max_det=max_det_tile,
+            max_nms=serving_max_nms(conf_thres),
         )
     )(dec)
     return merge_tile_detections(det, n, origins, B, iou_thres, max_det)
