@@ -94,7 +94,10 @@ def test_windowed_attention():
     assert out.shape == x.shape
 
 
-@pytest.mark.parametrize("variant,width", [("s", 0.5), ("m", 0.75)])
+@pytest.mark.parametrize(
+    "variant,width",
+    [("s", 0.5), pytest.param("m", 0.75, marks=pytest.mark.slow)],
+)
 def test_detector_feature_shapes(variant, width):
     cfg = ModelConfig.from_variant(variant, nc=10)
     module = SkyEyeDetectorModule(config=cfg)

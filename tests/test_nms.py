@@ -123,3 +123,19 @@ def test_nms_approx_topk_close_to_exact():
     assert int(n2) >= int(n1) * 0.9  # allow small recall loss on TPU
     # on CPU approx_max_k is exact -> identical results
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+
+
+def test_serving_max_nms_routing():
+    """The conf-aware candidate budget: serving confidences get the small
+    budget (sizes the whole post-head tail; measured −0.01 pt on converged
+    weights, profiles/nms_budget_r03.json), eval-like confidences keep the
+    large one so mAP protocols see the full candidate set."""
+    from skyeye_tpu.ops.nms import (EVAL_MAX_NMS, SERVING_MAX_NMS,
+                                    serving_max_nms)
+
+    assert serving_max_nms(0.25) == SERVING_MAX_NMS
+    assert serving_max_nms(0.1) == SERVING_MAX_NMS
+    assert serving_max_nms(0.001) == EVAL_MAX_NMS  # cli/validate protocol
+    assert serving_max_nms(0.099) == EVAL_MAX_NMS
+    # budgets stay lane-aligned for the Pallas kernel's 8x128 pad path
+    assert SERVING_MAX_NMS % 1024 == 0 and EVAL_MAX_NMS % 1024 == 0
