@@ -126,6 +126,18 @@ class CrossLayerAttention(nn.Module):
     output_channels: Optional[int] = None
     heads: int = 4
     dtype: Any = jnp.float32
+    # Reference-exact compatibility mode (parity/weight-import only). The
+    # reference's region loop stacks the SAME bilinear-upsampled K/V r^2 times and
+    # its softmax runs over the H axis (attention.py:180/232 dim=3 of
+    # [B, heads, r^2, H, W]), so its true semantics are: per-head q.k similarity
+    # -> softmax over image ROWS -> r^2 * attn * V (no neighborhood structure).
+    # Additionally its q*k product requires Cq == Ck per head, so the enhanced
+    # detector's c4/c5 pairing crashes as-shipped; the minimal repair (mirrored
+    # here) projects Q to key_channels. ref_exact=True reproduces that repaired
+    # computation exactly for weight-mapped parity with EnhancedSkyEyeDetector
+    # (reference detector.py:436-501); default False is the true local-region
+    # redesign (SURVEY.md M10).
+    ref_exact: bool = False
 
     @nn.compact
     def __call__(self, query, key, value=None):
@@ -135,6 +147,32 @@ class CrossLayerAttention(nn.Module):
         out_ch = self.output_channels or self.query_channels
         scale = 1.0 / float(np.sqrt(self.query_channels))
         r = self.region_size
+
+        if self.ref_exact:
+            q = nn.Conv(self.key_channels, (1, 1), dtype=self.dtype,
+                        param_dtype=jnp.float32, name="q_proj")(query)
+            k = nn.Conv(self.key_channels, (1, 1), dtype=self.dtype,
+                        param_dtype=jnp.float32, name="k_proj")(key)
+            v = nn.Conv(v_ch, (1, 1), dtype=self.dtype,
+                        param_dtype=jnp.float32, name="v_proj")(value)
+            B, gh, gw, _ = q.shape
+            k = _bilinear_resize(k, gh, gw)
+            v = _bilinear_resize(v, gh, gw)
+            hk = self.key_channels // self.heads
+            hv = v_ch // self.heads
+            scores = jnp.einsum(
+                "bhwnc,bhwnc->bhwn",
+                q.reshape(B, gh, gw, self.heads, hk),
+                k.reshape(B, gh, gw, self.heads, hk),
+            ) * scale
+            attn = jax.nn.softmax(scores.astype(jnp.float32), axis=1)  # over rows
+            out = (float(r * r) * attn[..., None]).astype(self.dtype) * v.reshape(
+                B, gh, gw, self.heads, hv
+            )
+            return nn.Conv(out_ch, (1, 1), dtype=self.dtype,
+                           param_dtype=jnp.float32, name="out_proj")(
+                out.reshape(B, gh, gw, v_ch)
+            )
 
         q = nn.Conv(self.query_channels, (1, 1), dtype=self.dtype,
                     param_dtype=jnp.float32, name="q_proj")(query)

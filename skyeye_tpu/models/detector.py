@@ -45,6 +45,10 @@ class SkyEyeDetectorModule(nn.Module):
     # serving-path packed stage 1 (ops/packed_csp.py); use with variables
     # transformed by pack_stage1_variables — numerically exact full-lane csp1
     packed_stage1: bool = False
+    # parity/weight-import mode: run the enhanced cross-layer attention with the
+    # reference's exact (repaired) degenerate semantics — see
+    # CrossLayerAttention.ref_exact. Only meaningful with config.enhanced.
+    ref_exact_cross_attn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
@@ -71,14 +75,16 @@ class SkyEyeDetectorModule(nn.Module):
             p4 = (
                 CrossLayerAttention(
                     query_channels=c4, key_channels=c5, region_size=2, heads=4,
-                    dtype=self.dtype, name="cross_attn_p5_p4",
+                    dtype=self.dtype, ref_exact=self.ref_exact_cross_attn,
+                    name="cross_attn_p5_p4",
                 )(p4, p5)
                 + p4
             )
             p3 = (
                 CrossLayerAttention(
                     query_channels=c3, key_channels=c4, region_size=2, heads=4,
-                    dtype=self.dtype, name="cross_attn_p4_p3",
+                    dtype=self.dtype, ref_exact=self.ref_exact_cross_attn,
+                    name="cross_attn_p4_p3",
                 )(p3, p4)
                 + p3
             )

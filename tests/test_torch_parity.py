@@ -369,3 +369,85 @@ def test_windowed_attention_module_parity(refmod):
 
     np.testing.assert_allclose(out_nomask, ref_out_nomask, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def ref_enhanced_model(refmod, ref_model):
+    """Repaired reference EnhancedSkyEyeDetector (detector.py:436-501).
+
+    Inherits repairs 1-2 from ref_model (channel report, None-bias init). REPAIR 3:
+    the shipped CrossLayerAttention's q*k product needs Cq == Ck per head
+    (attention.py:229 view + elementwise product), so the enhanced c4/c5 pairing
+    crashes as-shipped; minimal repair projects Q to key_channels (the scale stays
+    the reference's 1/sqrt(query_channels), set before the overwrite).
+    """
+    attention_mod = refmod["attention"]
+    detector_mod = refmod["detector"]
+
+    class FixedCrossLayerAttention(attention_mod.CrossLayerAttention):
+        def __init__(self, query_channels, key_channels, **kw):
+            super().__init__(query_channels, key_channels, **kw)
+            self.query_projection = torch.nn.Conv2d(query_channels, key_channels, 1)
+            self.query_channels = key_channels  # forward()'s multi-head view
+
+    prev = detector_mod.CrossLayerAttention
+    detector_mod.CrossLayerAttention = FixedCrossLayerAttention
+    cfg = {"nc": 8, "base_channels": 16, "depth_multiple": 0.33, "width_multiple": 1.0}
+    torch.manual_seed(9)
+    model = detector_mod.EnhancedSkyEyeDetector(cfg, 3)
+    model.eval()
+    detector_mod.CrossLayerAttention = prev
+    return model, cfg
+
+
+def test_enhanced_forward_parity(ref_enhanced_model):
+    """FULL-MODEL parity for the enhanced variant (EnhancedSkyEyeDetector,
+    reference detector.py:436-501): converted weights + same input -> same decoded
+    output, with our CrossLayerAttention in ref_exact mode reproducing the repaired
+    reference's degenerate attention semantics (softmax over image rows, r^2 * attn
+    * V). Complements the module-level degeneracy proof above; the shipped default
+    (ref_exact=False) is the documented true local-region redesign (SURVEY.md M10).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from skyeye_tpu.config import ModelConfig
+    from skyeye_tpu.models import SkyEyeDetectorModule, decode_predictions
+    from skyeye_tpu.utils.checkpoint import convert_torch_state_dict, merge_matching
+
+    model, cfg = ref_enhanced_model
+    rng = np.random.default_rng(17)
+    x = rng.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        decoded_ref, _ = model(torch.tensor(x))
+    decoded_ref = decoded_ref.numpy()
+
+    anchors = tuple(
+        tuple(tuple(float(v) for v in a) for a in level)
+        for level in [
+            [[10, 13], [16, 30], [33, 23]],
+            [[30, 61], [62, 45], [59, 119]],
+            [[116, 90], [156, 198], [373, 326]],
+        ]
+    )
+    mcfg = ModelConfig(
+        nc=cfg["nc"], base_channels=cfg["base_channels"],
+        depth_multiple=cfg["depth_multiple"], width_multiple=cfg["width_multiple"],
+        anchors=anchors, enhanced=True,
+    )
+    module = SkyEyeDetectorModule(config=mcfg, ref_exact_cross_attn=True)
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+
+    converted = convert_torch_state_dict(model.state_dict())
+    params, n_loaded, n_total = merge_matching(variables["params"], converted["params"])
+    stats, n_stats, n_stats_total = merge_matching(
+        variables["batch_stats"], converted["batch_stats"]
+    )
+    assert n_loaded == n_total, f"only {n_loaded}/{n_total} params mapped"
+    assert n_stats == n_stats_total
+
+    outs = module.apply({"params": params, "batch_stats": stats},
+                        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    decoded = np.asarray(decode_predictions(outs, jnp.asarray(anchors), (64, 64)))
+    assert decoded.shape == decoded_ref.shape
+    np.testing.assert_allclose(decoded, decoded_ref, rtol=2e-3, atol=2e-3)
