@@ -84,6 +84,15 @@ def _flax_to_torch_key(path: List[str]) -> Optional[str]:
         "neck/down4": "neck.downsample4",
         "neck/pan4": "neck.pan_conv4",
         "neck/pan5": "neck.pan_conv5",
+        # enhanced-variant cross-layer attention (EnhancedSkyEyeDetector)
+        "cross_attn_p5_p4/q_proj": "cross_attention_p5_p4.query_projection",
+        "cross_attn_p5_p4/k_proj": "cross_attention_p5_p4.key_projection",
+        "cross_attn_p5_p4/v_proj": "cross_attention_p5_p4.value_projection",
+        "cross_attn_p5_p4/out_proj": "cross_attention_p5_p4.output_projection",
+        "cross_attn_p4_p3/q_proj": "cross_attention_p4_p3.query_projection",
+        "cross_attn_p4_p3/k_proj": "cross_attention_p4_p3.key_projection",
+        "cross_attn_p4_p3/v_proj": "cross_attention_p4_p3.value_projection",
+        "cross_attn_p4_p3/out_proj": "cross_attention_p4_p3.output_projection",
     }
     for pre, tpre in sorted(inverse_prefix.items(), key=lambda kv: -len(kv[0])):
         if joined.startswith(pre + "/") or joined == pre:

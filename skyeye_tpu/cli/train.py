@@ -81,6 +81,7 @@ def train(
     autoanchor: bool = False,
     evolve: int = 0,
     debug_nans: bool = False,
+    ref_exact_cross_attn: Optional[bool] = None,
 ):
     from ..data.dataset import create_dataloader
     from ..parallel import create_mesh, shard_batch
@@ -138,7 +139,8 @@ def train(
 
     dtype = jnp.bfloat16 if half else jnp.float32
     module, variables = create_detector(cfg, num_classes=nc, dtype=dtype,
-                                        rng=jax.random.PRNGKey(seed))
+                                        rng=jax.random.PRNGKey(seed),
+                                        ref_exact_cross_attn=ref_exact_cross_attn)
     config = module.config
     stride = int(max(config.strides))
     img_size = check_img_size(img_size, stride)
@@ -188,7 +190,8 @@ def train(
                                                       config.strides)
                 config = dataclasses.replace(config, anchors=new_anchors)
                 module, variables = create_detector(
-                    config, dtype=dtype, rng=jax.random.PRNGKey(seed))
+                    config, dtype=dtype, rng=jax.random.PRNGKey(seed),
+                    ref_exact_cross_attn=ref_exact_cross_attn)
     LOGGER.info("train: %d images, %d steps/epoch", len(train_ds), steps_per_epoch)
 
     # -- optimizer + schedules (train.py:94-133)

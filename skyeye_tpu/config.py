@@ -54,6 +54,10 @@ class ModelConfig:
     in_channels: int = 3
     enhanced: bool = False  # EnhancedSkyEyeDetector: cross-layer attention in the neck
     transformer_heads: bool = False  # TransformerLayer-enhanced P5 head path
+    # parity/weight-import mode: enhanced cross-attention runs the reference's
+    # exact (repaired) degenerate semantics — see models/attention.py
+    # CrossLayerAttention.ref_exact. Persisted so checkpoints rebuild correctly.
+    ref_exact_cross_attn: bool = False
     variant: str = "s"
 
     @property
@@ -82,7 +86,8 @@ class ModelConfig:
     def from_dict(cls, raw: Dict[str, Any]) -> "ModelConfig":
         kw: Dict[str, Any] = {}
         for key in ("nc", "base_channels", "depth_multiple", "width_multiple",
-                    "in_channels", "enhanced", "transformer_heads", "variant"):
+                    "in_channels", "enhanced", "transformer_heads",
+                    "ref_exact_cross_attn", "variant"):
             if key in raw and raw[key] is not None:
                 kw[key] = raw[key]
         if raw.get("anchors"):

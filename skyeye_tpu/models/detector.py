@@ -72,10 +72,11 @@ class SkyEyeDetectorModule(nn.Module):
 
         if cfg.enhanced:
             c3, c4, c5 = channels
+            ref_exact = self.ref_exact_cross_attn or cfg.ref_exact_cross_attn
             p4 = (
                 CrossLayerAttention(
                     query_channels=c4, key_channels=c5, region_size=2, heads=4,
-                    dtype=self.dtype, ref_exact=self.ref_exact_cross_attn,
+                    dtype=self.dtype, ref_exact=ref_exact,
                     name="cross_attn_p5_p4",
                 )(p4, p5)
                 + p4
@@ -83,7 +84,7 @@ class SkyEyeDetectorModule(nn.Module):
             p3 = (
                 CrossLayerAttention(
                     query_channels=c3, key_channels=c4, region_size=2, heads=4,
-                    dtype=self.dtype, ref_exact=self.ref_exact_cross_attn,
+                    dtype=self.dtype, ref_exact=ref_exact,
                     name="cross_attn_p4_p3",
                 )(p3, p4)
                 + p3
@@ -109,17 +110,22 @@ def create_detector(
     dtype=jnp.float32,
     rng: Optional[jax.Array] = None,
     img_size: int = 64,
+    ref_exact_cross_attn: Optional[bool] = None,
 ) -> Tuple[SkyEyeDetectorModule, dict]:
     """Build module + initialized variables (params, batch_stats).
 
     Mirrors reference SkyEyeDetector.__init__ overrides (detector.py:260-265):
     `num_classes` / `anchors` args win over the config file values.
+    `ref_exact_cross_attn` is recorded on the config so checkpoints rebuild the
+    same architecture.
     """
     config = load_model_config(cfg)
     if num_classes is not None and num_classes != config.nc:
         config = _replace(config, nc=num_classes)
     if anchors is not None:
         config = _replace(config, anchors=_normalize_anchors(anchors))
+    if ref_exact_cross_attn is not None:
+        config = _replace(config, ref_exact_cross_attn=ref_exact_cross_attn)
 
     module = SkyEyeDetectorModule(config=config, dtype=dtype)
     rng = rng if rng is not None else jax.random.PRNGKey(0)

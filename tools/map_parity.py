@@ -45,6 +45,10 @@ def main():
                    help="reuse existing weights in workdir")
     p.add_argument("--cpu", action="store_true",
                    help="force the JAX side onto CPU (smoke runs)")
+    p.add_argument("--variant", choices=("base", "enhanced"), default="base",
+                   help="'enhanced' = EnhancedSkyEyeDetector parity: our enhanced "
+                        "model in ref_exact cross-attention mode vs the repaired "
+                        "reference (repairs R1-R3, tools/ref_harness.py)")
     args = p.parse_args()
 
     if args.cpu:
@@ -68,8 +72,10 @@ def main():
         make_dataset(workdir / "data", n_train=args.n_train, n_val=args.n_val,
                      square=True, img_size=args.img_size)
 
+    enhanced = args.variant == "enhanced"
     cfg = ModelConfig(nc=8, base_channels=args.base_channels,
-                      depth_multiple=0.33, width_multiple=1.0)
+                      depth_multiple=0.33, width_multiple=1.0,
+                      enhanced=enhanced, ref_exact_cross_attn=enhanced)
 
     # -- train skyeye_tpu ------------------------------------------------------
     # prefer the most recent of best/last (noval runs only write last; a stale
@@ -125,7 +131,7 @@ def main():
                "depth_multiple": cfg.depth_multiple,
                "width_multiple": cfg.width_multiple,
                "anchors": [[list(a) for a in level] for level in cfg.anchors]}
-    ref_model = build_repaired_model(ref_cfg)
+    ref_model = build_repaired_model(ref_cfg, enhanced=enhanced)
     missing, unexpected = ref_model.load_state_dict(sd, strict=False)
     # num_batches_tracked buffers are absent from the flax side by design
     real_missing = [k for k in missing if "num_batches_tracked" not in k]
@@ -194,7 +200,7 @@ def main():
         "delta_map5095_pt": round(float(d95) * 100, 3),
         "decoded_max_abs_diff": diff,
         "img_size": args.img_size, "n_val": args.n_val, "epochs": args.epochs,
-        "verdict": verdict,
+        "variant": args.variant, "verdict": verdict,
     }, indent=1))
     print(f"wrote {workdir/'parity.json'}")
 

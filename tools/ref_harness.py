@@ -156,12 +156,20 @@ def ref_metrics_module():
     return _metric_mods["metrics"]
 
 
-def build_repaired_model(cfg: dict):
-    """Reference SkyEyeDetector with repairs R1+R2; eval mode."""
+def build_repaired_model(cfg: dict, enhanced: bool = False):
+    """Reference SkyEyeDetector with repairs R1+R2; eval mode.
+
+    enhanced=True builds EnhancedSkyEyeDetector (detector.py:436-501) with the
+    additional repair R3: the shipped CrossLayerAttention's q*k product needs
+    Cq == Ck per head (attention.py:229), so the enhanced c4/c5 pairing crashes
+    as-shipped; the minimal repair projects Q to key_channels (scale stays the
+    reference's 1/sqrt(query_channels), set before the overwrite).
+    """
     import torch
 
     mods = ref_model_modules()
     backbone_mod, detector_mod = mods["backbone"], mods["detector"]
+    attention_mod = mods["attention"]
 
     class FixedBackbone(backbone_mod.SkyEyeBackbone):  # R1
         def __init__(self, base_channels=64, depth_multiple=1.0, width_multiple=1.0):
@@ -192,7 +200,22 @@ def build_repaired_model(cfg: dict):
                     m.bias.data.zero_()
 
     detector_mod.SkyEyeDetector._initialize_weights = safe_init
-    model = detector_mod.SkyEyeDetector(cfg, 3)
+    if enhanced:
+        class FixedCrossLayerAttention(attention_mod.CrossLayerAttention):  # R3
+            def __init__(self, query_channels, key_channels, **kw):
+                super().__init__(query_channels, key_channels, **kw)
+                self.query_projection = torch.nn.Conv2d(
+                    query_channels, key_channels, 1)
+                self.query_channels = key_channels  # forward()'s multi-head view
+
+        prev = detector_mod.CrossLayerAttention
+        detector_mod.CrossLayerAttention = FixedCrossLayerAttention
+        try:
+            model = detector_mod.EnhancedSkyEyeDetector(cfg, 3)
+        finally:
+            detector_mod.CrossLayerAttention = prev
+    else:
+        model = detector_mod.SkyEyeDetector(cfg, 3)
     model.eval()
     return model
 
