@@ -180,6 +180,60 @@ def _unshard_spatial(x):
     return x
 
 
+def _spatial_mesh_active() -> bool:
+    """True when the surrounding mesh shards image rows (a >1 "spatial" axis)."""
+    mesh = jax.sharding.get_abstract_mesh()
+    return (mesh is not None and "spatial" in mesh.axis_names
+            and mesh.shape["spatial"] > 1)
+
+
+def _shift_max(t, s: int, axis: int):
+    """Left-shift t by s along axis, filling the vacated tail with -inf."""
+    if s == 0:
+        return t
+    pad_width = [(0, 0)] * t.ndim
+    pad_width[axis] = (0, s)
+    tp = jnp.pad(t, pad_width, constant_values=-jnp.inf)
+    return jax.lax.slice_in_dim(tp, s, s + t.shape[axis], axis=axis)
+
+
+def _window_max_1d(x, k: int, axis: int):
+    """Running max over a length-k forward window via van Herk doubling:
+    out[i] = max(x[i .. i+k-1]) in O(log k) elementwise maxima."""
+    m = x
+    span = 1
+    while span * 2 <= k:
+        m = jnp.maximum(m, _shift_max(m, span, axis))
+        span *= 2
+    if span < k:
+        # remainder r < span, so [i, i+span) U [i+r, i+r+span) covers [i, i+k)
+        m = jnp.maximum(m, _shift_max(m, k - span, axis))
+    return m
+
+
+def _maxpool_same_shiftmax(x, k: int):
+    """Stride-1 SAME k x k max pool as a separable shift-max chain (NHWC).
+
+    Numerically identical to nn.max_pool(window (k,k), stride 1, pad k//2) but
+    built from elementwise maxima over statically shifted copies, so its
+    backward is a chain of selects instead of XLA select-and-scatter — which
+    GSPMD mis-partitions on spatially row-sharded operands (wrong input grads,
+    ~90%% error; see _unshard_spatial). Shifts across the sharded row axis
+    lower to halo exchanges, so SPP can stay sharded. O(log k) maxima per axis
+    on the tiny P5 map."""
+    p = k // 2
+    # SAME centering: out[i] = max(x[i-p .. i+p]) — prepend p -inf rows, take
+    # the forward-window max, keep the first H entries
+    out = x
+    for axis in (1, 2):
+        pw = [(0, 0)] * x.ndim
+        pw[axis] = (p, 0)
+        xp = jnp.pad(out, pw, constant_values=-jnp.inf)
+        m = _window_max_1d(xp, k, axis)
+        out = jax.lax.slice_in_dim(m, 0, x.shape[axis], axis=axis)
+    return out
+
+
 def _reshard_spatial(x):
     """Inverse of _unshard_spatial: put rows back on the "spatial" axis."""
     mesh = jax.sharding.get_abstract_mesh()
@@ -202,24 +256,29 @@ class SPPBlock(nn.Module):
         in_ch = x.shape[-1]
         hidden = in_ch // 2
         x = ConvBlock(hidden, 1, 1, dtype=self.dtype, name="cv1")(x, train)
-        x = _unshard_spatial(x)
-        pools = [x]
-        for k in self.kernel_sizes:
-            p = k // 2
-            pools.append(
-                nn.max_pool(
-                    x,
-                    window_shape=(k, k),
-                    strides=(1, 1),
-                    padding=((p, p), (p, p)),
+        if _spatial_mesh_active():
+            # Row-sharded path: shift-max pools (backward = select chain) keep
+            # P5 sharded — select-and-scatter (nn.max_pool's backward) would
+            # need the _unshard_spatial gather to dodge its GSPMD grad bug.
+            pools = [x] + [
+                _maxpool_same_shiftmax(x, k) for k in self.kernel_sizes
+            ]
+            y = jnp.concatenate(pools, axis=-1)
+        else:
+            pools = [x]
+            for k in self.kernel_sizes:
+                p = k // 2
+                pools.append(
+                    nn.max_pool(
+                        x,
+                        window_shape=(k, k),
+                        strides=(1, 1),
+                        padding=((p, p), (p, p)),
+                    )
                 )
-            )
-        # pin the concat too: its backward re-constrains the cotangent entering
-        # the pool backward (select-and-scatter) to the gathered layout — the
-        # trailing reshard alone would hand it a spatially-sharded cotangent
-        y = _unshard_spatial(jnp.concatenate(pools, axis=-1))
+            y = jnp.concatenate(pools, axis=-1)
         y = ConvBlock(self.out_channels, 1, 1, dtype=self.dtype, name="cv2")(y, train)
-        return _reshard_spatial(y)
+        return y
 
 
 def space_to_depth_2x2(x):

@@ -298,3 +298,88 @@ def test_decode_anchor_major_permutation_only():
         sa = a[i][np.lexsort(a[i].T)]
         sb = b[i][np.lexsort(b[i].T)]
         np.testing.assert_allclose(sa, sb, rtol=1e-6)
+
+
+def test_shiftmax_pool_equals_max_pool():
+    """The sharded-path SPP pool (van Herk shift-max chain) is numerically
+    identical to nn.max_pool stride-1 SAME for every SPP kernel size, including
+    non-multiple-of-k and tiny maps."""
+    import flax.linen as nn
+
+    from skyeye_tpu.models.blocks import _maxpool_same_shiftmax
+
+    rng = np.random.default_rng(3)
+    for H, W in ((16, 16), (7, 9), (4, 4), (20, 12)):
+        x = jnp.asarray(rng.normal(size=(2, H, W, 8)).astype(np.float32))
+        for k in (3, 5, 9, 13):
+            p = k // 2
+            want = nn.max_pool(x, (k, k), strides=(1, 1),
+                               padding=((p, p), (p, p)))
+            got = _maxpool_same_shiftmax(x, k)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                          err_msg=f"k={k} H={H} W={W}")
+
+
+def test_spp_block_no_gather_under_spatial_mesh():
+    """SPPBlock under a spatial mesh routes through the shift-max pools and
+    produces the same forward output as the unsharded run."""
+    from skyeye_tpu.models.blocks import SPPBlock
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from skyeye_tpu.parallel import create_mesh
+
+    mesh = create_mesh(n_spatial=4)
+    m = SPPBlock(out_channels=32)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 8, 16)),
+                    jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    want = m.apply(v, x)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "spatial")))
+    with jax.set_mesh(mesh):
+        got = jax.jit(lambda v, x: m.apply(v, x))(v, xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_spp_block_sharded_grads_match_unsharded():
+    """Gradients through the sharded shift-max SPP must match the single-device
+    run — this is exactly what XLA select-and-scatter (nn.max_pool's backward)
+    gets wrong under row sharding (~90% error, see blocks._unshard_spatial);
+    the select-chain backward must not."""
+    from skyeye_tpu.models.blocks import SPPBlock
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from skyeye_tpu.parallel import create_mesh
+
+    m = SPPBlock(out_channels=32)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(4, 8, 8, 16)),
+                    jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+
+    def loss(params, x):
+        return jnp.sum(
+            m.apply({"params": params, "batch_stats": v["batch_stats"]}, x) ** 2
+        )
+
+    g_ref, gx_ref = jax.grad(loss, argnums=(0, 1))(v["params"], x)
+
+    for n_spatial in (2, 4):  # down to 2-row shards: hammer the halo path
+        mesh = create_mesh(n_spatial=n_spatial)
+        xs = jax.device_put(x, NamedSharding(mesh, P("data", "spatial")))
+        with jax.set_mesh(mesh):
+            g_sp, gx_sp = jax.jit(jax.grad(loss, argnums=(0, 1)))(v["params"], xs)
+        np.testing.assert_allclose(np.asarray(gx_sp), np.asarray(gx_ref),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"input grads, spatial={n_spatial}")
+        for a, b in zip(jax.tree_util.tree_leaves(g_sp),
+                        jax.tree_util.tree_leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5,
+                                       err_msg=f"param grads, spatial={n_spatial}")

@@ -272,8 +272,9 @@ def test_train_step_spatial_mesh_256_all_stages_sharded(monkeypatch):
     """At 256px under (data=4, spatial=2) the <4-rows-per-shard guard never
     fires: every ConvBlock/CSP stage keeps its image rows genuinely sharded
     (P5 = 8 rows -> 4/shard, exactly at the threshold; flagship 1280px sits 5x
-    further from it), only the SPP pools gather (select-and-scatter GSPMD bug).
-    The fully-sharded step must still match single-device numerically —
+    further from it), and the SPP pools stay sharded too via the shift-max
+    formulation — ZERO spatial gathers anywhere in the network. The
+    fully-sharded step must still match single-device numerically —
     complements the 64px test where deep stages run gathered (VERDICT r2
     weak #6: "the equality test only exercises 64px toys")."""
     assert len(jax.devices()) == 8
@@ -511,8 +512,8 @@ def test_multiprocess_train_step():
 def test_spatial_mesh_matches_unsharded_at_sharded_depths():
     """Same spatial-mesh == single-device equality, but at 256px — where the
     _spatial_guard does NOT gather P5 (8 rows / 2 shards = 4 >= 4), so every
-    backbone stage genuinely runs row-sharded (only the SPP pools gather, for
-    the GSPMD select-and-scatter bug). Round-2 VERDICT weak #6: the 64px toy
+    backbone stage genuinely runs row-sharded, and the SPP pools run sharded
+    too (shift-max). Round-2 VERDICT weak #6: the 64px toy
     test hit the guard almost everywhere, proving little about real shapes."""
     assert len(jax.devices()) == 8
     from skyeye_tpu.parallel import shard_batch
