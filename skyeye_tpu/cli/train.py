@@ -82,6 +82,7 @@ def train(
     evolve: int = 0,
     debug_nans: bool = False,
     ref_exact_cross_attn: Optional[bool] = None,
+    remat: str = "",  # "" = off, "block" | "stage" (see models.backbone)
 ):
     from ..data.dataset import create_dataloader
     from ..parallel import create_mesh, shard_batch
@@ -140,7 +141,8 @@ def train(
     dtype = jnp.bfloat16 if half else jnp.float32
     module, variables = create_detector(cfg, num_classes=nc, dtype=dtype,
                                         rng=jax.random.PRNGKey(seed),
-                                        ref_exact_cross_attn=ref_exact_cross_attn)
+                                        ref_exact_cross_attn=ref_exact_cross_attn,
+                                        remat=remat)
     config = module.config
     stride = int(max(config.strides))
     img_size = check_img_size(img_size, stride)
@@ -415,6 +417,13 @@ def parse_opt():
                    help="run mosaic/HSV/affine augmentation on-device inside the "
                         "jitted train step instead of in host workers")
     p.add_argument("--max-labels", type=int, default=300)
+    p.add_argument("--remat", nargs="?", const="stage", default="",
+                   choices=("block", "stage"),
+                   help="rematerialize activations in the backward pass "
+                        "(jax.checkpoint): 'stage' (default when bare) saves "
+                        "only pyramid-boundary tensors — a large cut in "
+                        "activation memory for ~1 extra forward of FLOPs; "
+                        "'block' checkpoints individual CSP/SPP blocks")
     return p.parse_args()
 
 

@@ -67,15 +67,67 @@ class CSPDarknet(nn.Module):
     # pack_stage1_variables — the stage-1 C=32/64 tensors otherwise pay 2-4x
     # lane-padding HBM waste, measured profiles/r3_1280).
     packed_stage1: bool = False
+    # Training memory lever: rematerialize activations in the backward pass
+    # (jax.checkpoint) instead of storing them. False = off; True/"block" =
+    # checkpoint each CSP/SPP block (drops intra-block intermediates only,
+    # measured ~1.06x at 1280px); "stage" = checkpoint each of the four
+    # backbone stages, saving ONLY the stage-boundary tensors (stem input,
+    # /8, /16, /32) — the real lever at high resolution. No effect on params
+    # or numerics (bit-exact; tests/test_models.py).
+    remat: Any = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        level = "block" if self.remat is True else self.remat
+        CSP = nn.remat(CSPBlock, static_argnums=(2,)) if level == "block" else CSPBlock
+        SPP = nn.remat(SPPBlock, static_argnums=(2,)) if level == "block" else SPPBlock
         w, d = self.width_multiple, self.depth_multiple
         c1 = scaled_channels(self.base_channels, w)
         c2 = scaled_channels(self.base_channels * 2, w)
         c3 = scaled_channels(self.base_channels * 4, w)
         c4 = scaled_channels(self.base_channels * 8, w)
         c5 = scaled_channels(self.base_channels * 16, w)
+
+        # Stage-level remat: the canonical (training) path only — the serving
+        # layouts (packed/fused/int8) never train. Each stage function takes
+        # the module first so nn.remat lifts it over this scope; submodule
+        # names are unchanged, so param trees are identical to remat=False.
+        if level == "stage" and not (self.packed_stem or self.packed_stage1
+                                     or self.fused_csp or self.int8_early):
+            def stage1(mdl, x, train):
+                x = FocusBlock(c1, kernel_size=3, dtype=mdl.dtype,
+                               name="stem")(x, train)
+                x = ConvBlock(c2, 3, stride=2, dtype=mdl.dtype,
+                              name="down1")(x, train)
+                x = CSPBlock(c2, scaled_depth(3, d), dtype=mdl.dtype,
+                             name="csp1")(x, train)
+                return ConvBlock(c3, 3, stride=2, dtype=mdl.dtype,
+                                 name="down2")(x, train)
+
+            def stage2(mdl, x, train):
+                return CSPBlock(c3, scaled_depth(9, d), dtype=mdl.dtype,
+                                name="csp2")(x, train)
+
+            def stage3(mdl, x, train):
+                x = ConvBlock(c4, 3, stride=2, dtype=mdl.dtype,
+                              name="down3")(x, train)
+                x = CSPBlock(c4, scaled_depth(9, d), dtype=mdl.dtype,
+                             name="csp3")(x, train)
+                return CBAM(dtype=mdl.dtype, name="cbam3")(x)
+
+            def stage4(mdl, x, train):
+                x = ConvBlock(c5, 3, stride=2, dtype=mdl.dtype,
+                              name="down4")(x, train)
+                x = CSPBlock(c5, scaled_depth(3, d), dtype=mdl.dtype,
+                             name="csp4")(x, train)
+                return SPPBlock(c5, dtype=mdl.dtype, name="spp4")(x, train)
+
+            rm = lambda f: nn.remat(f, static_argnums=(2,))  # noqa: E731
+            x = rm(stage1)(self, x, train)
+            p3 = rm(stage2)(self, x, train)
+            p4 = rm(stage3)(self, p3, train)
+            p5 = rm(stage4)(self, p4, train)
+            return [p3, p4, p5]
 
         if self.int8_early:
             assert self.packed_stem, "int8_early requires the packed-stem layout"
@@ -128,23 +180,23 @@ class CSPDarknet(nn.Module):
                 x = ConvBlock(c3, 3, stride=2, dtype=self.dtype,
                               name="down2")(x, train)
             else:
-                x = CSPBlock(c2, scaled_depth(3, d), dtype=self.dtype,
-                             name="csp1")(x, train)
+                x = CSP(c2, scaled_depth(3, d), dtype=self.dtype,
+                        name="csp1")(x, train)
                 x = ConvBlock(c3, 3, stride=2, dtype=self.dtype,
                               name="down2")(x, train)
 
             # Stage 2 (/8) -> P3
-            p3 = CSPBlock(c3, scaled_depth(9, d), dtype=self.dtype,
-                          name="csp2")(x, train)
+            p3 = CSP(c3, scaled_depth(9, d), dtype=self.dtype,
+                     name="csp2")(x, train)
 
         # Stage 3 (/16) -> P4, with CBAM
         x = ConvBlock(c4, 3, stride=2, dtype=self.dtype, name="down3")(p3, train)
-        x = CSPBlock(c4, scaled_depth(9, d), dtype=self.dtype, name="csp3")(x, train)
+        x = CSP(c4, scaled_depth(9, d), dtype=self.dtype, name="csp3")(x, train)
         p4 = CBAM(dtype=self.dtype, name="cbam3")(x)
 
         # Stage 4 (/32) -> P5, with SPP
         x = ConvBlock(c5, 3, stride=2, dtype=self.dtype, name="down4")(p4, train)
-        x = CSPBlock(c5, scaled_depth(3, d), dtype=self.dtype, name="csp4")(x, train)
-        p5 = SPPBlock(c5, dtype=self.dtype, name="spp4")(x, train)
+        x = CSP(c5, scaled_depth(3, d), dtype=self.dtype, name="csp4")(x, train)
+        p5 = SPP(c5, dtype=self.dtype, name="spp4")(x, train)
 
         return [p3, p4, p5]

@@ -49,6 +49,12 @@ class SkyEyeDetectorModule(nn.Module):
     # reference's exact (repaired) degenerate semantics — see
     # CrossLayerAttention.ref_exact. Only meaningful with config.enhanced.
     ref_exact_cross_attn: bool = False
+    # training memory lever: rematerialize activations in the backward pass
+    # (jax.checkpoint). False | True/"block" (per CSP/SPP block) | "stage"
+    # (whole backbone stages + whole neck; saves only pyramid boundaries —
+    # the real lever at high resolution). Params and numerics are unchanged,
+    # so the flag does not need to persist in checkpoints.
+    remat: Any = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
@@ -62,12 +68,17 @@ class SkyEyeDetectorModule(nn.Module):
             fused_csp=self.fused_csp,
             int8_early=self.int8_early,
             packed_stage1=self.packed_stage1,
+            remat=self.remat,
             name="backbone",
         )(x, train)
 
         channels = feature_channels(cfg.base_channels, cfg.width_multiple)
-        p3, p4, p5 = FeatureNeck(
-            in_channels=tuple(channels), dtype=self.dtype, name="neck"
+        Neck = (nn.remat(FeatureNeck, static_argnums=(2,))
+                if self.remat == "stage" else FeatureNeck)
+        p3, p4, p5 = Neck(
+            in_channels=tuple(channels), dtype=self.dtype,
+            remat=(self.remat is True or self.remat == "block"),
+            name="neck"
         )(feats, train)
 
         if cfg.enhanced:
@@ -111,6 +122,7 @@ def create_detector(
     rng: Optional[jax.Array] = None,
     img_size: int = 64,
     ref_exact_cross_attn: Optional[bool] = None,
+    remat: Any = False,
 ) -> Tuple[SkyEyeDetectorModule, dict]:
     """Build module + initialized variables (params, batch_stats).
 
@@ -127,7 +139,7 @@ def create_detector(
     if ref_exact_cross_attn is not None:
         config = _replace(config, ref_exact_cross_attn=ref_exact_cross_attn)
 
-    module = SkyEyeDetectorModule(config=config, dtype=dtype)
+    module = SkyEyeDetectorModule(config=config, dtype=dtype, remat=remat)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, img_size, img_size, config.in_channels), dtype)
     variables = module.init(rng, dummy, train=False)

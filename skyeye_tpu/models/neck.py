@@ -38,6 +38,8 @@ class FeatureNeck(nn.Module):
 
     in_channels: Sequence[int]
     dtype: Any = jnp.float32
+    # rematerialize the fusion CSP blocks in the backward pass (see CSPDarknet)
+    remat: bool = False
 
     @property
     def out_channels(self) -> List[int]:
@@ -45,6 +47,7 @@ class FeatureNeck(nn.Module):
 
     @nn.compact
     def __call__(self, features, train: bool = False) -> List[jnp.ndarray]:
+        CSP = nn.remat(CSPBlock, static_argnums=(2,)) if self.remat else CSPBlock
         p3, p4, p5 = features
         c3, c4, c5 = self.in_channels
 
@@ -53,21 +56,21 @@ class FeatureNeck(nn.Module):
         p4_td = ConvBlock(c3, 1, 1, dtype=self.dtype, name="lateral4")(p4, train)
 
         p4_merged = jnp.concatenate([upsample_nearest_2x(p5_td), p4], axis=-1)
-        p4_processed = CSPBlock(c4, 3, dtype=self.dtype,
-                                name="fpn4")(p4_merged, train)
+        p4_processed = CSP(c4, 3, dtype=self.dtype,
+                           name="fpn4")(p4_merged, train)
 
         p3_merged = jnp.concatenate([upsample_nearest_2x(p4_td), p3], axis=-1)
-        p3_processed = CSPBlock(c3, 3, dtype=self.dtype,
-                                name="fpn3")(p3_merged, train)
+        p3_processed = CSP(c3, 3, dtype=self.dtype,
+                           name="fpn3")(p3_merged, train)
 
         # Bottom-up path
         p3_down = ConvBlock(c3, 3, 2, dtype=self.dtype, name="down3")(p3_processed, train)
-        p4_out = CSPBlock(c4, 3, dtype=self.dtype, name="pan4")(
+        p4_out = CSP(c4, 3, dtype=self.dtype, name="pan4")(
             jnp.concatenate([p3_down, p4_processed], axis=-1), train
         )
 
         p4_down = ConvBlock(c4, 3, 2, dtype=self.dtype, name="down4")(p4_out, train)
-        p5_out = CSPBlock(c5, 3, dtype=self.dtype, name="pan5")(
+        p5_out = CSP(c5, 3, dtype=self.dtype, name="pan5")(
             jnp.concatenate([p4_down, p5], axis=-1), train
         )
 

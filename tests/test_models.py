@@ -320,6 +320,7 @@ def test_shiftmax_pool_equals_max_pool():
                                           err_msg=f"k={k} H={H} W={W}")
 
 
+@pytest.mark.slow
 def test_spp_block_no_gather_under_spatial_mesh():
     """SPPBlock under a spatial mesh routes through the shift-max pools and
     produces the same forward output as the unsharded run."""
@@ -345,6 +346,7 @@ def test_spp_block_no_gather_under_spatial_mesh():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_spp_block_sharded_grads_match_unsharded():
     """Gradients through the sharded shift-max SPP must match the single-device
     run — this is exactly what XLA select-and-scatter (nn.max_pool's backward)
@@ -383,3 +385,36 @@ def test_spp_block_sharded_grads_match_unsharded():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5,
                                        err_msg=f"param grads, spatial={n_spatial}")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("level", ["block", "stage"])
+def test_remat_is_numerically_transparent(level):
+    """remat (jax.checkpoint around CSP/SPP blocks or whole backbone stages +
+    neck) must not change the param tree, the loss, the gradients, or the BN
+    stat updates — only the backward-pass memory schedule."""
+    cfg = ModelConfig(nc=8, base_channels=16, depth_multiple=0.33,
+                      width_multiple=0.5)
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    )
+    m0 = SkyEyeDetectorModule(config=cfg)
+    m1 = SkyEyeDetectorModule(config=cfg, remat=level)
+    v = m0.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=True)
+    v1 = m1.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=True)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v1)
+
+    def make_loss(m):
+        def f(p):
+            o, upd = m.apply({"params": p, "batch_stats": v["batch_stats"]}, x,
+                             train=True, mutable=["batch_stats"])
+            return sum(jnp.mean(t.astype(jnp.float32) ** 2) for t in o), upd
+        return f
+
+    (l0, u0), g0 = jax.value_and_grad(make_loss(m0), has_aux=True)(v["params"])
+    (l1, u1), g1 = jax.value_and_grad(make_loss(m1), has_aux=True)(v["params"])
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(u0), jax.tree_util.tree_leaves(u1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
