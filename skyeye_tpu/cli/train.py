@@ -193,7 +193,7 @@ def train(
                 config = dataclasses.replace(config, anchors=new_anchors)
                 module, variables = create_detector(
                     config, dtype=dtype, rng=jax.random.PRNGKey(seed),
-                    ref_exact_cross_attn=ref_exact_cross_attn)
+                    ref_exact_cross_attn=ref_exact_cross_attn, remat=remat)
     LOGGER.info("train: %d images, %d steps/epoch", len(train_ds), steps_per_epoch)
 
     # -- optimizer + schedules (train.py:94-133)

@@ -88,46 +88,112 @@ class CSPDarknet(nn.Module):
         c4 = scaled_channels(self.base_channels * 8, w)
         c5 = scaled_channels(self.base_channels * 16, w)
 
-        # Stage-level remat: the canonical (training) path only — the serving
-        # layouts (packed/fused/int8) never train. Each stage function takes
-        # the module first so nn.remat lifts it over this scope; submodule
-        # names are unchanged, so param trees are identical to remat=False.
-        if level == "stage" and not (self.packed_stem or self.packed_stage1
-                                     or self.fused_csp or self.int8_early):
-            def stage1(mdl, x, train):
-                x = FocusBlock(c1, kernel_size=3, dtype=mdl.dtype,
-                               name="stem")(x, train)
-                x = ConvBlock(c2, 3, stride=2, dtype=mdl.dtype,
-                              name="down1")(x, train)
-                x = CSPBlock(c2, scaled_depth(3, d), dtype=mdl.dtype,
-                             name="csp1")(x, train)
-                return ConvBlock(c3, 3, stride=2, dtype=mdl.dtype,
-                                 name="down2")(x, train)
+        # Stage-level remat wraps whole stages with jax.checkpoint (only the
+        # canonical training path for stages 1-2; serving layouts never train).
+        # Stage bodies are defined ONCE below and shared by every path — each
+        # takes the module first so nn.remat can lift it over this scope;
+        # submodule names are unchanged, so param trees are identical across
+        # remat levels (tests/test_models.py::test_remat_is_numerically_transparent).
+        use_stage = level == "stage" and not (
+            self.packed_stem or self.packed_stage1
+            or self.fused_csp or self.int8_early)
+        wrap = ((lambda f: nn.remat(f, static_argnums=(2,)))
+                if use_stage else (lambda f: f))
 
-            def stage2(mdl, x, train):
-                return CSPBlock(c3, scaled_depth(9, d), dtype=mdl.dtype,
-                                name="csp2")(x, train)
+        def stem_down1(mdl, x, train):
+            x = FocusBlock(c1, kernel_size=3, dtype=mdl.dtype,
+                           name="stem")(x, train)
+            return ConvBlock(c2, 3, stride=2, dtype=mdl.dtype,
+                             name="down1")(x, train)
 
-            def stage3(mdl, x, train):
-                x = ConvBlock(c4, 3, stride=2, dtype=mdl.dtype,
-                              name="down3")(x, train)
-                x = CSPBlock(c4, scaled_depth(9, d), dtype=mdl.dtype,
-                             name="csp3")(x, train)
-                return CBAM(dtype=mdl.dtype, name="cbam3")(x)
+        def csp1_down2(mdl, x, train):
+            x = CSP(c2, scaled_depth(3, d), dtype=mdl.dtype,
+                    name="csp1")(x, train)
+            return ConvBlock(c3, 3, stride=2, dtype=mdl.dtype,
+                             name="down2")(x, train)
 
-            def stage4(mdl, x, train):
-                x = ConvBlock(c5, 3, stride=2, dtype=mdl.dtype,
-                              name="down4")(x, train)
-                x = CSPBlock(c5, scaled_depth(3, d), dtype=mdl.dtype,
-                             name="csp4")(x, train)
-                return SPPBlock(c5, dtype=mdl.dtype, name="spp4")(x, train)
+        def stage1(mdl, x, train):
+            return csp1_down2(mdl, stem_down1(mdl, x, train), train)
 
-            rm = lambda f: nn.remat(f, static_argnums=(2,))  # noqa: E731
-            x = rm(stage1)(self, x, train)
-            p3 = rm(stage2)(self, x, train)
-            p4 = rm(stage3)(self, p3, train)
-            p5 = rm(stage4)(self, p4, train)
-            return [p3, p4, p5]
+        def stage2(mdl, x, train):
+            return CSP(c3, scaled_depth(9, d), dtype=mdl.dtype,
+                       name="csp2")(x, train)
+
+        def stage3(mdl, x, train):
+            x = ConvBlock(c4, 3, stride=2, dtype=mdl.dtype,
+                          name="down3")(x, train)
+            x = CSP(c4, scaled_depth(9, d), dtype=mdl.dtype,
+                    name="csp3")(x, train)
+            return CBAM(dtype=mdl.dtype, name="cbam3")(x)
+
+        def stage4(mdl, x, train):
+            x = ConvBlock(c5, 3, stride=2, dtype=mdl.dtype,
+                          name="down4")(x, train)
+            x = CSP(c5, scaled_depth(3, d), dtype=mdl.dtype,
+                    name="csp4")(x, train)
+            return SPP(c5, dtype=mdl.dtype, name="spp4")(x, train)
+
+        if use_stage:
+            x = wrap(stage1)(self, x, train)
+            p3 = wrap(stage2)(self, x, train)
+        elif self.int8_early:
+            assert self.packed_stem, "int8_early requires the packed-stem layout"
+            from ..ops.int8_stage import Int8EarlyStage
+            from ..ops.packed_stem import s2d4_device
+
+            if x.shape[-1] == 3:
+                x = s2d4_device(x)
+            p3 = Int8EarlyStage(
+                c1=c1, c2=c2, c3=c3, nb1=scaled_depth(3, d),
+                nb2=scaled_depth(9, d), dtype=self.dtype, name="int8_early",
+            )(x, train)
+        else:
+            # Stage 1 (/4): Focus -> conv/2 -> CSP(3d)
+            if self.packed_stem:
+                from ..ops.packed_stem import s2d4_device
+
+                if x.shape[-1] == 3:  # raw image: pack on device
+                    x = s2d4_device(x)
+                x = ConvBlock(4 * c1, 3, stride=1, dtype=self.dtype,
+                              name="stem")(x, train)
+                if self.packed_stage1:
+                    # packed-in/packed-out down1 (pack_down1_p2p_kernel): emits
+                    # the 2x2-s2d layout PackedStage1 consumes — no transpose
+                    x = ConvBlock(4 * c2, 3, stride=2, padding=((1, 0), (1, 0)),
+                                  dtype=self.dtype, name="down1")(x, train)
+                else:
+                    x = ConvBlock(c2, 2, stride=1, padding=((1, 0), (1, 0)),
+                                  dtype=self.dtype, name="down1")(x, train)
+            else:
+                x = stem_down1(self, x, train)
+            if self.packed_stage1:
+                assert not (self.fused_csp or self.int8_early), (
+                    "packed_stage1 is exclusive with fused_csp/int8_early")
+                from ..ops.packed_csp import PackedStage1
+
+                # csp1 + down2 in one packed-domain stage (emits canonical /8);
+                # with packed_stem the input is already 2x2-s2d packed (p2p down1)
+                x = PackedStage1(c2=c2, c3=c3, num_blocks=scaled_depth(3, d),
+                                 packed_input=self.packed_stem,
+                                 dtype=self.dtype, name="packed_stage1")(x, train)
+            elif self.fused_csp:
+                from ..ops.fused_csp import FusedCSPBlock
+
+                x = FusedCSPBlock(c2, scaled_depth(3, d), dtype=self.dtype,
+                                  name="csp1")(x, train)
+                x = ConvBlock(c3, 3, stride=2, dtype=self.dtype,
+                              name="down2")(x, train)
+            else:
+                x = csp1_down2(self, x, train)
+
+            # Stage 2 (/8) -> P3
+            p3 = stage2(self, x, train)
+
+        # Stage 3 (/16) -> P4, with CBAM; Stage 4 (/32) -> P5, with SPP
+        p4 = wrap(stage3)(self, p3, train)
+        p5 = wrap(stage4)(self, p4, train)
+
+        return [p3, p4, p5]
 
         if self.int8_early:
             assert self.packed_stem, "int8_early requires the packed-stem layout"
