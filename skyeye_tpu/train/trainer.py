@@ -78,6 +78,12 @@ def make_train_step(
         if images.dtype == jnp.uint8:
             images = images.astype(jnp.float32) / 255.0
         n_valid = batch.get("n_valid")
+        # read optional keys BEFORE `batch` is rebound below — reading them
+        # later silently returns None (this exact bug shipped: opt_hyperparams
+        # was read after the rebind, so runtime schedules never reached the
+        # optimizer; tests/test_train.py::test_opt_hyperparams_reach_optimizer)
+        opt_hp_in = batch.get("opt_hyperparams")
+        dropout_key_in = batch.get("dropout_key")
         targets_in, mask_in = batch["targets"], batch["mask"]
         if device_augment is not None:
             images, targets_in, mask_in = device_augment(
@@ -98,12 +104,22 @@ def make_train_step(
         if n_valid is not None and _loss_takes_img_weight:
             img_weight = (jnp.arange(B) < n_valid).astype(jnp.float32)
 
+        # stochastic layers (TransformerLayer dropout in the transformer-heads
+        # variant) need a per-step PRNG; fold the step count into the batch's
+        # key (or a fixed seed) so every step draws fresh masks deterministically
+        dropout_rng = jax.random.fold_in(
+            dropout_key_in if dropout_key_in is not None
+            else jax.random.PRNGKey(0),
+            state.step,
+        )
+
         def loss_of(params):
             outs, updates = module.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 images,
                 train=True,
                 mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng},
             )
             if img_weight is not None:
                 loss, aux = loss_fn(outs, flat_targets, flat_mask,
@@ -120,7 +136,7 @@ def make_train_step(
         # as batch scalars and the optimizer was built with inject_hyperparams
         # (build_optimizer_runtime) — overriding state.hyperparams applies them
         # without baking schedule constants into the compiled step
-        hp = batch.get("opt_hyperparams")
+        hp = opt_hp_in
         if hp is not None and hasattr(opt_state, "hyperparams"):
             merged = {
                 k: jnp.asarray(hp.get(k, v), jnp.float32)

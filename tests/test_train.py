@@ -558,3 +558,37 @@ def test_spatial_mesh_matches_unsharded_at_sharded_depths():
                     jax.tree_util.tree_leaves(state_sd.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=1e-4)
+
+
+def test_opt_hyperparams_reach_optimizer():
+    """The per-batch opt_hyperparams scalars must actually drive the update:
+    lr=bias_lr=0 -> params identical after a step; lr>0 -> params move. This
+    wiring silently broke once (`batch` was rebound before the
+    opt_hyperparams read, so every run trained at the inject_hyperparams
+    initial constants and warmup/cosine schedules were cosmetic)."""
+    from skyeye_tpu.train import build_optimizer_runtime
+
+    cfg, module, variables = tiny_model()
+    loss_fn = ComputeLoss(jnp.asarray(cfg.anchors), cfg.nc)
+    tx = build_optimizer_runtime(DEFAULT_HYP, variables["params"], batch_size=64,
+                                 accumulate=1)
+    state = create_train_state(variables, tx)
+    step = jax.jit(make_train_step(module, loss_fn, tx))
+
+    batch = make_batch()
+    batch["opt_hyperparams"] = {
+        "lr": np.float32(0.0), "bias_lr": np.float32(0.0),
+        "momentum": np.float32(DEFAULT_HYP["momentum"]),
+    }
+    frozen, _ = step(state, batch)
+    for a, b in zip(jax.tree_util.tree_leaves(frozen.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    batch["opt_hyperparams"]["lr"] = np.float32(0.5)
+    batch["opt_hyperparams"]["bias_lr"] = np.float32(0.5)
+    moved, _ = step(state, batch)
+    deltas = [float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+              for a, b in zip(jax.tree_util.tree_leaves(moved.params),
+                              jax.tree_util.tree_leaves(state.params))]
+    assert max(deltas) > 1e-6, "lr=0.5 produced no parameter movement"
