@@ -46,11 +46,10 @@ def _build_pipeline(variant: str, img: int, nc: int, batch: int):
     """Compile-free builder: returns (pipeline_fn, burst_fn, module, variables)."""
     import jax
     import jax.numpy as jnp
-    from functools import partial
 
     from skyeye_tpu.config import ModelConfig
     from skyeye_tpu.models import SkyEyeDetectorModule, decode_predictions
-    from skyeye_tpu.ops.nms import _nms_single_impl
+    from skyeye_tpu.ops.nms import nms_batched
     from skyeye_tpu.ops.packed_stem import pack_stem_variables
     from skyeye_tpu.utils.checkpoint import fuse_conv_bn
 
@@ -140,11 +139,10 @@ def _build_pipeline(variant: str, img: int, nc: int, batch: int):
         # serving: skip the reference-order transpose (row order is
         # irrelevant to NMS; saves a ~75 MB relayout per batch)
         dec = decode_predictions(outs, anchors, (img, img), anchor_major=False)
-        det, n = jax.vmap(
-            partial(_nms_single_impl, conf_thres=0.25, iou_thres=0.45,
-                    multi_label=False, agnostic=False, max_det=300, max_nms=1024,
-                    approx_topk=True)
-        )(dec)
+        det, n = nms_batched(
+            dec, conf_thres=0.25, iou_thres=0.45,
+            multi_label=False, agnostic=False, max_det=300, max_nms=1024,
+            approx_topk=True)
         return det, n
 
     pipeline = jax.jit(body)

@@ -16,7 +16,6 @@ decode, and NMS never leave the device (BASELINE.json north star).
 """
 from __future__ import annotations
 
-from functools import partial
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
@@ -27,7 +26,7 @@ import numpy as np
 from .config import ModelConfig
 from .models.head import decode_predictions
 from .ops.letterbox import letterbox_params
-from .ops.nms import _nms_single_impl, serving_max_nms
+from .ops.nms import nms_batched, serving_max_nms
 from .utils.general import LOGGER, check_img_size
 from .utils.visualization import Annotator, colors
 
@@ -248,14 +247,12 @@ class SkyEyeDetector:
                     approx_topk=True)
             dec = decode_predictions(outs, anchors, out_shape,
                                      anchor_major=False)
-            det, n = jax.vmap(
-                partial(
-                    _nms_single_impl,
-                    conf_thres=conf, iou_thres=iou, multi_label=multi_label,
-                    agnostic=agnostic, max_det=max_det,
-                    max_nms=serving_max_nms(conf), approx_topk=approx,
-                )
-            )(dec)
+            det, n = nms_batched(
+                dec,
+                conf_thres=conf, iou_thres=iou, multi_label=multi_label,
+                agnostic=agnostic, max_det=max_det,
+                max_nms=serving_max_nms(conf), approx_topk=approx,
+            )
             return det, n
 
         self._executables[key] = run
@@ -304,14 +301,12 @@ class SkyEyeDetector:
                     approx_topk=True)
             dec = decode_predictions(outs, anchors, out_shape,
                                      anchor_major=False)
-            det, n = jax.vmap(
-                partial(
-                    _nms_single_impl,
-                    conf_thres=conf, iou_thres=iou, multi_label=multi_label,
-                    agnostic=agnostic, max_det=max_det, max_nms=serving_max_nms(conf),
-                    approx_topk=approx,
-                )
-            )(dec)
+            det, n = nms_batched(
+                dec,
+                conf_thres=conf, iou_thres=iou, multi_label=multi_label,
+                agnostic=agnostic, max_det=max_det,
+                max_nms=serving_max_nms(conf), approx_topk=approx,
+            )
             return det, n
 
         self._executables[key] = run

@@ -105,7 +105,7 @@ def run(
     from functools import partial
 
     from ..models.head import decode_predictions
-    from ..ops.nms import _nms_single_impl, serving_max_nms
+    from ..ops.nms import nms_batched, serving_max_nms
 
     anchors_dev = jnp.asarray(detector.config.anchors)
     class_mask_dev = jnp.asarray(class_mask) if class_mask is not None else None
@@ -128,12 +128,11 @@ def run(
                 max_nms=serving_max_nms(conf_thres), approx_topk=True, class_mask=class_mask_dev)
         dec = decode_predictions(outs, anchors_dev, (in_h, in_w),
                                  anchor_major=False)
-        return jax.vmap(
-            partial(_nms_single_impl, conf_thres=conf_thres, iou_thres=iou_thres,
-                    multi_label=False, agnostic=agnostic_nms, max_det=max_det,
-                    max_nms=serving_max_nms(conf_thres), class_mask=class_mask_dev,
-                    approx_topk=not exact_nms)
-        )(dec)
+        return nms_batched(
+            dec, conf_thres=conf_thres, iou_thres=iou_thres,
+            multi_label=False, agnostic=agnostic_nms, max_det=max_det,
+            max_nms=serving_max_nms(conf_thres), class_mask=class_mask_dev,
+            approx_topk=not exact_nms)
 
     # Double-buffered pipeline (BASELINE config #3 throughput mode): keep up to
     # `pipeline_depth` batches in flight so host decode/annotate overlaps device

@@ -19,7 +19,6 @@ from __future__ import annotations
 import argparse
 import json
 import time
-from functools import partial
 from pathlib import Path
 from typing import Optional
 
@@ -29,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.head import decode_predictions
-from ..ops.nms import _nms_single_impl
+from ..ops.nms import nms_batched
 from ..utils.general import LOGGER, check_dataset, check_img_size, increment_path
 from ..utils.metrics import ConfusionMatrix, ap_per_class, process_batch
 
@@ -135,18 +134,16 @@ def validate(
                 x = images.astype(dtype) / 255.0
                 outs = module.apply(variables, x, train=False)
                 dec = decode_predictions(outs, anchors, hw)
-                det, n = jax.vmap(
-                    partial(
-                        _nms_single_impl,
-                        conf_thres=conf_thres, iou_thres=iou_thres,
-                        multi_label=nc > 1, agnostic=False,
-                        max_det=max_det, max_nms=max_nms,
-                        # exact top-k by default (reference-parity ranking);
-                        # approx_topk=True measures the serving candidate cut's
-                        # mAP impact on chip (tools/approx_topk_eval.py)
-                        approx_topk=approx_topk,
-                    )
-                )(dec)
+                det, n = nms_batched(
+                    dec,
+                    conf_thres=conf_thres, iou_thres=iou_thres,
+                    multi_label=nc > 1, agnostic=False,
+                    max_det=max_det, max_nms=max_nms,
+                    # exact top-k by default (reference-parity ranking);
+                    # approx_topk=True measures the serving candidate cut's
+                    # mAP impact on chip (tools/approx_topk_eval.py)
+                    approx_topk=approx_topk,
+                )
                 raw = outs if compute_loss is not None else None
                 return det, n, raw
 

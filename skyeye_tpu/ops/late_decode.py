@@ -142,12 +142,12 @@ def late_decode_nms(
     The serving-path replacement for decode_predictions + nms single-label:
     identical output semantics, none of the (*, no)-minor lane-padded
     intermediates."""
-    from .nms import suppress_candidates
+    from .nms import suppress_candidates_batched
 
     boxes, scores, cls = topk_candidates(
         outputs, anchors, input_shape, conf_thres=conf_thres, max_nms=max_nms,
         approx_topk=approx_topk, class_mask=class_mask)
-    return jax.vmap(
-        lambda b, s, c: suppress_candidates(b, s, c, iou_thres=iou_thres,
-                                            max_det=max_det, agnostic=agnostic)
-    )(boxes, scores, cls)
+    # one lockstep suppression pass for the whole batch (a vmap of the
+    # per-image kernel serializes the batch on the TensorCore)
+    return suppress_candidates_batched(boxes, scores, cls, iou_thres=iou_thres,
+                                       max_det=max_det, agnostic=agnostic)

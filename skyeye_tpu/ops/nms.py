@@ -123,6 +123,47 @@ def greedy_nms(offset_boxes, scores, iou_thres: float, max_det: int):
     return _greedy_nms(offset_boxes, scores, iou_thres, max_det)
 
 
+def greedy_nms_batched(offset_boxes, scores, iou_thres: float, max_det: int):
+    """Batched greedy suppression: (B, k, 4) + (B, k) -> (B, max_det) x2.
+
+    On TPU this is ONE lockstep Pallas kernel (rows = images on the sublane
+    axis), not a vmap of per-image kernels — vmapping the single-image kernel
+    makes the TensorCore run the b greedy loops serially, which measured 2.6 ms
+    of the 25.3 ms serving launch @1280 b16 (profiles/r3_1280_latedecode)."""
+    if _pallas_nms_enabled():
+        from .pallas.nms_kernel import pallas_batched_greedy_nms
+
+        return pallas_batched_greedy_nms(
+            offset_boxes, scores, max_det=max_det, iou_thres=iou_thres
+        )
+    return jax.vmap(lambda b, s: _greedy_nms(b, s, iou_thres, max_det))(
+        offset_boxes, scores
+    )
+
+
+def suppress_candidates_batched(cand_boxes, cand_scores, cand_cls,
+                                iou_thres: float, max_det: int,
+                                agnostic: bool = False):
+    """Batched form of suppress_candidates: (B, k, ...) in, ((B, max_det, 6),
+    (B,)) out. Row-wise identical to vmap(suppress_candidates); exists so the
+    whole batch's suppression runs as one lockstep kernel on TPU."""
+    offset = jnp.where(agnostic, 0.0, cand_cls * _MAX_WH)
+    offset_boxes = cand_boxes + offset[..., None]
+
+    keep_idx, keep_valid = greedy_nms_batched(
+        offset_boxes, cand_scores, iou_thres, max_det
+    )
+
+    out_boxes = jnp.take_along_axis(cand_boxes, keep_idx[..., None], axis=1)
+    out_scores = jnp.take_along_axis(cand_scores, keep_idx, axis=1)
+    out_cls = jnp.take_along_axis(cand_cls, keep_idx, axis=1)
+    det = jnp.concatenate(
+        [out_boxes, out_scores[..., None], out_cls[..., None]], axis=-1
+    )
+    det = jnp.where(keep_valid[..., None], det, 0.0)
+    return det, keep_valid.sum(axis=1).astype(jnp.int32)
+
+
 def suppress_candidates(cand_boxes, cand_scores, cand_cls, iou_thres: float,
                         max_det: int, agnostic: bool = False):
     """Class-offset greedy suppression + fixed-shape output assembly for one
@@ -176,6 +217,21 @@ def _nms_single_impl(
       detections: (max_det, 6) [x1, y1, x2, y2, conf, cls], zero-padded.
       n_valid: () int32 count of real detections.
     """
+    return suppress_candidates(
+        *_candidate_cut(prediction, conf_thres=conf_thres,
+                        multi_label=multi_label, max_nms=max_nms,
+                        class_mask=class_mask, approx_topk=approx_topk),
+        iou_thres=iou_thres, max_det=max_det, agnostic=agnostic)
+
+
+def _candidate_cut(prediction, conf_thres: float, multi_label: bool,
+                   max_nms: int, class_mask=None, approx_topk: bool = False):
+    """Confidence gate + top-k candidate cut for one image's decoded predictions.
+
+    Returns (cand_boxes (k, 4) xyxy, cand_scores (k,) invalid = -1, cand_cls
+    (k,)) — the per-image half of NMS with no sequential structure, so batching
+    is plain vmap; the greedy suppression half batches as one lockstep kernel
+    (suppress_candidates_batched)."""
     nc = prediction.shape[1] - 5
     boxes_xywh = prediction[:, :4]
     obj = prediction[:, 4]
@@ -214,9 +270,7 @@ def _nms_single_impl(
         cand_scores = top_scores
         cand_cls = best_cls[top_idx].astype(jnp.float32)
 
-    return suppress_candidates(cand_boxes, cand_scores, cand_cls,
-                               iou_thres=iou_thres, max_det=max_det,
-                               agnostic=agnostic)
+    return cand_boxes, cand_scores, cand_cls
 
 
 nms_single = partial(
@@ -242,6 +296,7 @@ nms_single = partial(
         "agnostic",
         "max_det",
         "max_nms",
+        "approx_topk",
     ),
 )
 def nms_batched(
@@ -253,19 +308,26 @@ def nms_batched(
     max_det: int = 300,
     max_nms: int = 4096,
     class_mask=None,
+    approx_topk: bool = False,
 ):
-    """Batched NMS: (B, N, 5+nc) -> ((B, max_det, 6), (B,)). vmapped `nms_single`."""
-    fn = partial(
-        _nms_single_impl,
+    """Batched NMS: (B, N, 5+nc) -> ((B, max_det, 6), (B,)).
+
+    The candidate cut is vmapped (pure vector work); greedy suppression runs as
+    ONE lockstep pass over the whole batch (suppress_candidates_batched), which
+    on TPU is a single Pallas kernel instead of B serialized ones."""
+    cut = partial(
+        _candidate_cut,
         conf_thres=conf_thres,
-        iou_thres=iou_thres,
         multi_label=multi_label,
-        agnostic=agnostic,
-        max_det=max_det,
         max_nms=max_nms,
         class_mask=class_mask,
+        approx_topk=approx_topk,
     )
-    return jax.vmap(fn)(predictions)
+    cand_boxes, cand_scores, cand_cls = jax.vmap(cut)(predictions)
+    return suppress_candidates_batched(
+        cand_boxes, cand_scores, cand_cls,
+        iou_thres=iou_thres, max_det=max_det, agnostic=agnostic,
+    )
 
 
 def non_max_suppression(

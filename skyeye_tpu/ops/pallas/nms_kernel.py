@@ -146,6 +146,117 @@ def pallas_greedy_nms(
     return keep_idx[0], keep_valid[0].astype(bool)
 
 
+def _nms_batched_kernel(x1_ref, y1_ref, x2_ref, y2_ref, scores_ref,
+                        keep_idx_ref, keep_valid_ref, *,
+                        max_det: int, iou_thres: float):
+    """Lockstep greedy NMS for a whole batch: refs are (b, k); outputs (b, md_p).
+
+    vmapping the single-image kernel serializes the batch — the TensorCore runs
+    grid steps one at a time, so b images cost b * (steps * step_time). Here the
+    batch IS the sublane axis: every greedy step does its argmax / winner
+    extraction / IoU / suppression for ALL images at once as (b, k) vector ops,
+    and the while_loop runs max(per-image steps) instead of sum. Measured 2.6 ms
+    -> sub-ms for the b16 @1280 serving NMS (profiles/r3_1280_latedecode top op).
+
+    Per-row semantics are IDENTICAL to _nms_kernel / ops.nms._greedy_nms: rows
+    whose candidates are exhausted go valid=False and become no-ops (live only
+    ever decreases, so a dead row cannot revive); the loop exits when every row
+    is dead or max_det winners are taken.
+    """
+    b, k = x1_ref.shape
+    md_p = keep_idx_ref.shape[1]
+    x1 = x1_ref[:]
+    y1 = y1_ref[:]
+    x2 = x2_ref[:]
+    y2 = y2_ref[:]
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+    det_lane = jax.lax.broadcasted_iota(jnp.int32, (b, md_p), 1)
+
+    def cond(carry):
+        i, live, keep_i, keep_v, any_alive = carry
+        return (i < max_det) & any_alive
+
+    def body(carry):
+        i, live, keep_i, keep_v, _ = carry
+        best_score = jnp.max(live, axis=1, keepdims=True)          # (b, 1)
+        valid = best_score > 0.0                                   # (b, 1)
+        # first lane achieving the row max (deterministic tie-break, matches
+        # jnp.argmax in the lax fallback)
+        best = jnp.min(jnp.where(live == best_score, lane, k),
+                       axis=1, keepdims=True)                      # (b, 1)
+        onehot = lane == best                                      # (b, k)
+
+        bx1 = jnp.sum(jnp.where(onehot, x1, 0.0), axis=1, keepdims=True)
+        by1 = jnp.sum(jnp.where(onehot, y1, 0.0), axis=1, keepdims=True)
+        bx2 = jnp.sum(jnp.where(onehot, x2, 0.0), axis=1, keepdims=True)
+        by2 = jnp.sum(jnp.where(onehot, y2, 0.0), axis=1, keepdims=True)
+        barea = jnp.sum(jnp.where(onehot, area, 0.0), axis=1, keepdims=True)
+
+        iw = jnp.maximum(jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1), 0.0)
+        ih = jnp.maximum(jnp.minimum(y2, by2) - jnp.maximum(y1, by1), 0.0)
+        inter = iw * ih
+        iou = inter / (area + barea - inter + 1e-7)
+
+        suppress = ((iou > iou_thres) & valid) | onehot
+        live = jnp.where(suppress, -1.0, live)
+
+        write = det_lane == i                                      # (b, md_p)
+        keep_i = jnp.where(write & valid, best, keep_i)
+        keep_v = jnp.where(write & valid, 1, keep_v)
+        return i + 1, live, keep_i, keep_v, jnp.sum(valid.astype(jnp.int32)) > 0
+
+    _, _, keep_i, keep_v, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), scores_ref[:],
+         jnp.zeros((b, md_p), jnp.int32), jnp.zeros((b, md_p), jnp.int32),
+         jnp.bool_(True)),
+    )
+    keep_idx_ref[:] = keep_i
+    keep_valid_ref[:] = keep_v
+
+
+@functools.partial(jax.jit, static_argnames=("max_det", "iou_thres", "interpret"))
+def pallas_batched_greedy_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    max_det: int = 300,
+    iou_thres: float = 0.45,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS over a whole batch of candidate sets in ONE kernel.
+
+    boxes: (b, k, 4) xyxy already class-offset; scores: (b, k), invalid < 0.
+    Returns (keep_idx (b, max_det) int32, keep_valid (b, max_det) bool), row-wise
+    identical to ops.nms._greedy_nms / pallas_greedy_nms.
+    """
+    b, k = scores.shape
+    pad_k = (-k) % 128          # lanes: candidates
+    pad_b = (-b) % _SUBLANES    # sublanes: images (padded rows are born dead)
+    if pad_k or pad_b:
+        boxes = jnp.pad(boxes, ((0, pad_b), (0, pad_k), (0, 0)))
+        scores = jnp.pad(scores, ((0, pad_b), (0, pad_k)), constant_values=-1.0)
+    md_p = max_det + ((-max_det) % 128)
+    bp = b + pad_b
+    coords = boxes.astype(jnp.float32)
+    scores2 = scores.astype(jnp.float32)
+    keep_idx, keep_valid = pl.pallas_call(
+        functools.partial(_nms_batched_kernel, max_det=max_det,
+                          iou_thres=iou_thres),
+        out_shape=(
+            jax.ShapeDtypeStruct((bp, md_p), jnp.int32),
+            jax.ShapeDtypeStruct((bp, md_p), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(coords[..., 0], coords[..., 1], coords[..., 2], coords[..., 3], scores2)
+    return keep_idx[:b, :max_det], keep_valid[:b, :max_det].astype(bool)
+
+
 def pallas_backend_ok() -> bool:
     """True when the compiled (non-interpret) kernel path can run."""
     try:

@@ -16,14 +16,13 @@ TPU-native design:
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .nms import _nms_single_impl, serving_max_nms
+from .nms import nms_batched, serving_max_nms
 
 
 def tile_grid(frame_hw: Tuple[int, int], tile: int, overlap: float = 0.2) -> np.ndarray:
@@ -126,12 +125,10 @@ def detect_tiled(
     x = tiles.astype(dtype) / 255.0
     outs = module.apply(variables, x, train=False)
     dec = decode_predictions(outs, jnp.asarray(anchors), (tile, tile))
-    det, n = jax.vmap(
-        partial(
-            _nms_single_impl,
-            conf_thres=conf_thres, iou_thres=iou_thres, multi_label=False,
-            agnostic=False, max_det=max_det_tile,
-            max_nms=serving_max_nms(conf_thres),
-        )
-    )(dec)
+    det, n = nms_batched(
+        dec,
+        conf_thres=conf_thres, iou_thres=iou_thres, multi_label=False,
+        agnostic=False, max_det=max_det_tile,
+        max_nms=serving_max_nms(conf_thres),
+    )
     return merge_tile_detections(det, n, origins, B, iou_thres, max_det)

@@ -49,6 +49,69 @@ def test_pallas_nms_identical_boxes_suppressed():
     assert int(np.asarray(idx)[0]) == 0  # highest score wins
 
 
+def test_pallas_batched_nms_matches_per_image_reference():
+    """The lockstep batched kernel must be row-wise identical to the per-image
+    lax greedy loop — including rows that exhaust early (lockstep no-op steps)
+    and the row/lane padding paths (b=5 pads to 8 sublanes, k=200 to 256 lanes)."""
+    from skyeye_tpu.ops.pallas import pallas_batched_greedy_nms
+
+    rng = np.random.default_rng(7)
+    b, k = 5, 200
+    boxes = np.zeros((b, k, 4), np.float32)
+    scores = np.zeros((b, k), np.float32)
+    n_real = [150, 40, 0, 1, 200]  # mixed exhaustion points incl. an empty row
+    for i in range(b):
+        boxes[i], scores[i] = make_candidates(rng, k=k, n_real=n_real[i])
+    got_idx, got_valid = pallas_batched_greedy_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), max_det=64, iou_thres=0.45,
+        interpret=True,
+    )
+    for i in range(b):
+        ref_idx, ref_valid = _greedy_nms(
+            jnp.asarray(boxes[i]), jnp.asarray(scores[i]), 0.45, 64)
+        np.testing.assert_array_equal(np.asarray(ref_valid),
+                                      np.asarray(got_valid)[i], err_msg=f"row {i}")
+        np.testing.assert_array_equal(np.asarray(ref_idx),
+                                      np.asarray(got_idx)[i], err_msg=f"row {i}")
+
+
+def test_pallas_batched_nms_all_empty():
+    from skyeye_tpu.ops.pallas import pallas_batched_greedy_nms
+
+    boxes = jnp.zeros((3, 128, 4), jnp.float32)
+    scores = jnp.full((3, 128), -1.0, jnp.float32)
+    idx, valid = pallas_batched_greedy_nms(boxes, scores, max_det=16,
+                                           interpret=True)
+    assert idx.shape == (3, 16) and valid.shape == (3, 16)
+    assert not np.asarray(valid).any()
+
+
+def test_nms_batched_routes_identically():
+    """nms_batched (vmapped candidate cut + batched suppression) must equal the
+    per-image _nms_single_impl pipeline on the same decoded predictions."""
+    from skyeye_tpu.ops.nms import _nms_single_impl, nms_batched
+
+    rng = np.random.default_rng(11)
+    B, N, nc = 3, 512, 8
+    pred = np.concatenate(
+        [
+            rng.uniform(20, 600, (B, N, 2)),          # cx, cy
+            rng.uniform(8, 60, (B, N, 2)),            # w, h
+            rng.uniform(0, 1, (B, N, 1)) ** 2,        # obj
+            rng.uniform(0, 1, (B, N, nc)),            # cls
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    det_b, n_b = nms_batched(jnp.asarray(pred), conf_thres=0.25, iou_thres=0.45,
+                             max_det=32, max_nms=256)
+    for i in range(B):
+        det_s, n_s = _nms_single_impl(jnp.asarray(pred[i]), conf_thres=0.25,
+                                      iou_thres=0.45, max_det=32, max_nms=256)
+        assert int(n_s) == int(np.asarray(n_b)[i])
+        np.testing.assert_allclose(np.asarray(det_s), np.asarray(det_b)[i],
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_flash_attention_matches_reference():
     rng = np.random.default_rng(1)
     B, N, hd = 2, 256, 64
