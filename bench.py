@@ -154,6 +154,28 @@ def _build_pipeline(variant: str, img: int, nc: int, batch: int):
     return pipeline, pipeline_burst, module, variables
 
 
+def _probe_batched_nms_kernel():
+    """Compile-probe the batched lockstep NMS kernel on a tiny shape; on any
+    Mosaic failure set SKYEYE_NO_BATCHED_NMS so every pipeline built afterwards
+    falls back to the known-good vmapped per-image kernel — the headline bench
+    must never break on a kernel-compile regression."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        from skyeye_tpu.ops.pallas.nms_kernel import pallas_batched_greedy_nms
+
+        jax.block_until_ready(pallas_batched_greedy_nms(
+            jnp.zeros((8, 128, 4), jnp.float32),
+            jnp.full((8, 128), -1.0, jnp.float32), max_det=16))
+    except Exception as e:
+        os.environ["SKYEYE_NO_BATCHED_NMS"] = "1"
+        print(f"# batched NMS kernel compile failed; using vmapped per-image "
+              f"kernel: {str(e)[:200]}", file=sys.stderr)
+
+
 def measure_tpu() -> dict:
     import jax
     import jax.numpy as jnp
@@ -161,6 +183,7 @@ def measure_tpu() -> dict:
     from skyeye_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    _probe_batched_nms_kernel()
 
     from skyeye_tpu.ops.packed_stem import s2d4_host
 
@@ -323,6 +346,7 @@ def measure_transformer_1280(batch: int = 4) -> dict:
     from skyeye_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    _probe_batched_nms_kernel()
     from skyeye_tpu.ops.packed_stem import s2d4_host
 
     pipeline, _, module, variables = _build_pipeline(
@@ -387,6 +411,7 @@ def measure_tiled_4k(batch: int = 2) -> dict:
     from skyeye_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    _probe_batched_nms_kernel()
     from functools import partial
 
     from skyeye_tpu.config import ModelConfig
@@ -445,6 +470,7 @@ def measure_single_640(batch: int = 1) -> dict:
     from skyeye_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    _probe_batched_nms_kernel()
     from skyeye_tpu.ops.packed_stem import s2d4_host
 
     pipeline, _, _, _ = _build_pipeline(VARIANT, 640, NC, batch)

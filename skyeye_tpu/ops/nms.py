@@ -129,13 +129,21 @@ def greedy_nms_batched(offset_boxes, scores, iou_thres: float, max_det: int):
     On TPU this is ONE lockstep Pallas kernel (rows = images on the sublane
     axis), not a vmap of per-image kernels — vmapping the single-image kernel
     makes the TensorCore run the b greedy loops serially, which measured 2.6 ms
-    of the 25.3 ms serving launch @1280 b16 (profiles/r3_1280_latedecode)."""
+    of the 25.3 ms serving launch @1280 b16 (profiles/r3_1280_latedecode).
+    SKYEYE_NO_BATCHED_NMS=1 falls back to the vmapped per-image kernel (A/B
+    lever + escape hatch should Mosaic reject the batched layout on some
+    geometry)."""
     if _pallas_nms_enabled():
-        from .pallas.nms_kernel import pallas_batched_greedy_nms
+        from .pallas.nms_kernel import pallas_batched_greedy_nms, pallas_greedy_nms
 
-        return pallas_batched_greedy_nms(
-            offset_boxes, scores, max_det=max_det, iou_thres=iou_thres
-        )
+        if not os.environ.get("SKYEYE_NO_BATCHED_NMS"):
+            return pallas_batched_greedy_nms(
+                offset_boxes, scores, max_det=max_det, iou_thres=iou_thres
+            )
+        return jax.vmap(
+            lambda b, s: pallas_greedy_nms(b, s, max_det=max_det,
+                                           iou_thres=iou_thres)
+        )(offset_boxes, scores)
     return jax.vmap(lambda b, s: _greedy_nms(b, s, iou_thres, max_det))(
         offset_boxes, scores
     )

@@ -82,21 +82,20 @@ def merge_tile_detections(
 
     # to the NMS candidate format: xywh + obj + one-hot-ish class scores are not
     # needed — run the greedy suppressor directly on (boxes, scores, cls).
-    # greedy_nms routes to the Pallas kernel on TPU (round-2 VERDICT #2: the
-    # tile-merge global NMS used to bypass it).
-    def merge_one(rows):
-        boxes = rows[:, :4]
-        scores = jnp.where(rows[:, 4] > 0, rows[:, 4], -1.0)
-        cls = rows[:, 5]
-        offset_boxes = boxes + (cls * 7680.0)[:, None]
-        from .nms import greedy_nms
+    # greedy_nms_batched runs ALL frames' merges as one lockstep Pallas kernel
+    # on TPU (round-2 VERDICT #2: the tile-merge global NMS used to bypass the
+    # kernel entirely).
+    from .nms import greedy_nms_batched
 
-        keep_idx, keep_valid = greedy_nms(offset_boxes, scores, iou_thres, max_det)
-        out = rows[keep_idx]
-        out = jnp.where(keep_valid[:, None], out, 0.0)
-        return out, keep_valid.sum().astype(jnp.int32)
-
-    return jax.vmap(merge_one)(per_frame)
+    boxes = per_frame[..., :4]
+    scores = jnp.where(per_frame[..., 4] > 0, per_frame[..., 4], -1.0)
+    cls = per_frame[..., 5]
+    offset_boxes = boxes + (cls * 7680.0)[..., None]
+    keep_idx, keep_valid = greedy_nms_batched(
+        offset_boxes, scores, iou_thres, max_det)
+    out = jnp.take_along_axis(per_frame, keep_idx[..., None], axis=1)
+    out = jnp.where(keep_valid[..., None], out, 0.0)
+    return out, keep_valid.sum(axis=1).astype(jnp.int32)
 
 
 def detect_tiled(

@@ -7,6 +7,8 @@ mode — a Mosaic miscompile would ship silently without this.
 
 Checks:
   1. pallas_greedy_nms == _greedy_nms (exact keep-set equality, 16 seeds)
+  1b. pallas_batched_greedy_nms == vmapped _greedy_nms (serving geometry +
+      row/lane padding paths, 8 seeds)
   2. padded_flash_attention == einsum attention (f32, detection-head shapes)
   3. csp_fused == canonical CSPBlock (bf16 tolerance class)
   4. approx_max_k candidate-cut recall vs exact top-k (informational)
@@ -85,6 +87,49 @@ def main():
         "mismatches": mismatches, "pass": n_match == n_total,
     }
     print(f"NMS kernel: {n_match}/{n_total} seeds exact keep-set match")
+
+    # -- 1b. Batched lockstep NMS kernel vs per-image lax reference --------------
+    from skyeye_tpu.ops.pallas.nms_kernel import pallas_batched_greedy_nms
+
+    bn_match, bn_total, bn_mismatches = 0, 0, []
+    for seed in range(8):
+        rng = np.random.default_rng(1000 + seed)
+        # serving geometry (b16 x k1024) on even seeds; odd seeds use a
+        # non-aligned b/k to exercise the row+lane padding paths
+        b, k = (16, 1024) if seed % 2 == 0 else (6, 1008)
+        boxes = np.zeros((b, k, 4), np.float32)
+        scores = np.zeros((b, k), np.float32)
+        for i in range(b):
+            n_real = int(rng.integers(0, k))
+            cx = rng.uniform(50, 1200, k)
+            cy = rng.uniform(50, 1200, k)
+            w = rng.uniform(8, 120, k)
+            h = rng.uniform(8, 120, k)
+            cls = rng.integers(0, 10, k).astype(np.float32)
+            bx = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], 1)
+            boxes[i] = bx + cls[:, None] * 7680.0
+            scores[i] = rng.uniform(0.05, 1.0, k)
+            scores[i, n_real:] = -1.0
+        bj, sj = jnp.asarray(boxes), jnp.asarray(scores)
+        got_idx, got_valid = pallas_batched_greedy_nms(
+            bj, sj, max_det=300, iou_thres=0.45)
+        gi, gv = np.asarray(got_idx), np.asarray(got_valid)
+        ref_idx, ref_valid = jax.jit(jax.vmap(
+            lambda b_, s_: _greedy_nms(b_, s_, 0.45, 300)))(bj, sj)
+        ri, rv = np.asarray(ref_idx), np.asarray(ref_valid)
+        bn_total += 1
+        same = bool((rv == gv).all() and (ri[rv] == gi[gv]).all())
+        bn_match += same
+        if not same:
+            bad = [int(i) for i in range(b)
+                   if not ((rv[i] == gv[i]).all() and
+                           (ri[i][rv[i]] == gi[i][gv[i]]).all())]
+            bn_mismatches.append({"seed": seed, "bad_rows": bad})
+    results["checks"]["pallas_batched_nms_vs_lax"] = {
+        "seeds_exact_match": bn_match, "seeds_total": bn_total,
+        "mismatches": bn_mismatches, "pass": bn_match == bn_total,
+    }
+    print(f"batched NMS kernel: {bn_match}/{bn_total} seeds exact keep-set match")
 
     # -- 2. Flash attention vs einsum reference ----------------------------------
     from skyeye_tpu.ops.pallas.attention_kernel import (
