@@ -86,7 +86,9 @@ def test_pallas_batched_nms_all_empty():
     assert not np.asarray(valid).any()
 
 
-def test_nms_batched_routes_identically():
+@pytest.mark.parametrize("multi_label,agnostic", [(False, False), (True, False),
+                                                  (False, True)])
+def test_nms_batched_routes_identically(multi_label, agnostic):
     """nms_batched (vmapped candidate cut + batched suppression) must equal the
     per-image _nms_single_impl pipeline on the same decoded predictions."""
     from skyeye_tpu.ops.nms import _nms_single_impl, nms_batched
@@ -103,10 +105,12 @@ def test_nms_batched_routes_identically():
         axis=-1,
     ).astype(np.float32)
     det_b, n_b = nms_batched(jnp.asarray(pred), conf_thres=0.25, iou_thres=0.45,
-                             max_det=32, max_nms=256)
+                             max_det=32, max_nms=256, multi_label=multi_label,
+                             agnostic=agnostic)
     for i in range(B):
         det_s, n_s = _nms_single_impl(jnp.asarray(pred[i]), conf_thres=0.25,
-                                      iou_thres=0.45, max_det=32, max_nms=256)
+                                      iou_thres=0.45, max_det=32, max_nms=256,
+                                      multi_label=multi_label, agnostic=agnostic)
         assert int(n_s) == int(np.asarray(n_b)[i])
         np.testing.assert_allclose(np.asarray(det_s), np.asarray(det_b)[i],
                                    rtol=1e-6, atol=1e-6)
