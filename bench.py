@@ -123,8 +123,21 @@ def _build_pipeline(variant: str, img: int, nc: int, batch: int):
     # back into decode-everything-then-cut for A/B.
     late = not os.environ.get("SKYEYE_NO_LATE_DECODE")
 
+    # fold the /255 normalization into the stem kernel (exact: conv(x*s, k) ==
+    # conv(x, k*s)) — the standalone normalize pass cost a 1.13 ms layout copy
+    # of its bf16[B,320,320,48] output per batch (profiles/r3_1280_latedecode
+    # copy.179). Excluded under int8 (its calibration expects [0,1] input);
+    # SKYEYE_NO_FOLD_SCALE=1 opts out for A/B.
+    fold_scale = not (int8 or os.environ.get("SKYEYE_NO_FOLD_SCALE"))
+    if fold_scale:
+        from skyeye_tpu.ops.packed_stem import fold_input_scale
+
+        variables = fold_input_scale(variables)
+
     def body(frames):  # uint8 (B, H/4, W/4, 48) host-packed (s2d4_host)
-        x = frames.astype(jnp.bfloat16) / 255.0
+        x = frames.astype(jnp.bfloat16)
+        if not fold_scale:
+            x = x / 255.0
         outs = module.apply(variables, x, train=False)
         if late:
             from skyeye_tpu.ops.late_decode import late_decode_nms

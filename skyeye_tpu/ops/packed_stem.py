@@ -116,6 +116,27 @@ def pack_down1_p2p_kernel(kd: np.ndarray) -> np.ndarray:
     return out
 
 
+def fold_input_scale(variables: Dict, scale: float = 1.0 / 255.0) -> Dict:
+    """Fold the input normalization (x * scale) into the stem conv kernel.
+
+    conv(x * s, k) == conv(x, k * s) exactly (linearity), so scaling the stem
+    kernel lets the serving pipeline feed uint8 frames converted to bf16 with NO
+    separate normalize pass. The conv OUTPUT is unchanged, so BN statistics /
+    fused biases downstream remain valid. Why it matters (measured,
+    profiles/r3_1280_latedecode copy.179): the standalone `frames/255` pass
+    materialized a bf16[16,320,320,48] plane whose layout disagreed with the
+    stem conv's choice, costing a 1.13 ms relayout copy per batch @1280 b16 —
+    folding removes the plane entirely. Composes with pack_stem_variables /
+    pack_stage1_variables (pure linear remaps of the same kernel).
+    """
+    import copy
+
+    out = copy.deepcopy(jax.tree_util.tree_map(np.asarray, variables))
+    stem = out["params"]["backbone"]["stem"]["conv"]
+    stem["kernel"] = np.asarray(stem["kernel"]) * scale
+    return out
+
+
 def pack_stem_variables(variables: Dict, down1_p2p: bool = False) -> Dict:
     """Transform canonical detector variables into the packed-stem form expected by
     modules built with packed_stem=True: stem kernel 6x6 -> 3x3 s2d (BN leaves tiled

@@ -72,6 +72,29 @@ def test_packed_stem_matches_after_bn_fold():
         np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-4, atol=2e-5)
 
 
+def test_fold_input_scale_matches_divide():
+    """conv(x/255, k) == conv(x, k/255): folding the input normalization into
+    the stem kernel must reproduce the canonical forward exactly (f32), so the
+    serving pipeline can feed raw 0..255 frames with no normalize pass."""
+    from skyeye_tpu.ops.packed_stem import fold_input_scale
+
+    cfg = ModelConfig.from_variant("s", nc=3)
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (1, 64, 64, 3)).astype(np.uint8)
+
+    canonical = SkyEyeDetectorModule(config=cfg)
+    variables = canonical.init(
+        jax.random.PRNGKey(4), jnp.zeros((1, 64, 64, 3)), train=False)
+    fused = fuse_conv_bn(variables)
+    ref = canonical.apply(fused, jnp.asarray(img, jnp.float32) / 255.0,
+                          train=False)
+    got = canonical.apply(fold_input_scale(fused),
+                          jnp.asarray(img, jnp.float32), train=False)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-5, atol=2e-6)
+
+
 def test_pack_down1_p2p_kernel_matches_conv():
     """Packed-in/packed-out down1 == canonical 3x3/2 conv (exact remap)."""
     import jax
