@@ -170,12 +170,21 @@ class SkyEyeDetector:
         names: Optional[Sequence[str]] = None,
         fuse: bool = True,
         approx_topk: bool = True,
+        mesh: Optional[Any] = None,
     ):
         """`approx_topk=True` (serving default) uses jax.lax.approx_max_k for the
         pre-NMS candidate cut — the TPU-native approximate top-k (~95% candidate
         recall vs the exact sort, measured mAP50 delta on chip recorded in
         BASELINE.md). Pass False for exact reference-parity ranking (what
-        cli/validate.py uses for mAP eval)."""
+        cli/validate.py uses for mAP eval).
+
+        `mesh`: optional jax.sharding.Mesh with a "data" axis
+        (parallel.mesh.create_mesh) — serving scales out SPMD over it: weights
+        replicate once, every pipeline runs under shard_map with the batch split
+        over the data axis, and each device executes the FULL pipeline (model +
+        decode + Pallas NMS) on its local shard with zero collectives. Batches
+        are padded to a multiple of the data-axis size inside the executable
+        (static shapes; padded rows dropped on return)."""
         from .utils.checkpoint import load_model
 
         if weights is not None:
@@ -198,6 +207,11 @@ class SkyEyeDetector:
         self.approx_topk = approx_topk
         self.names = list(names) if names else [str(i) for i in range(self.config.nc)]
         self.pt = True  # reference detect.py:126 checks model.pt
+        self._mesh = mesh
+        if mesh is not None:
+            from .parallel.mesh import replicated
+
+            self.variables = jax.device_put(self.variables, replicated(mesh))
         self._executables: Dict[Tuple, Any] = {}
         # Compile budget for the fully-on-device letterbox path: each distinct input
         # (H, W) is one compile (minutes through a remote-compile tunnel). Past the
@@ -215,6 +229,39 @@ class SkyEyeDetector:
 
     # -- core jitted pipeline ---------------------------------------------------
 
+    def _shard_over_batch(self, body):
+        """Serving scale-out: when a mesh is set, run `body` SPMD over the
+        mesh's "data" axis via shard_map — each device executes the full
+        pipeline (model forward + decode + Pallas NMS kernel) on its local
+        batch shard, embarrassingly parallel with zero collectives (custom
+        calls can't be GSPMD-partitioned, so shard_map, not sharded jit, is the
+        mechanism that keeps the kernel on the per-device path). Identity when
+        no mesh is set."""
+        mesh = self._mesh
+        if mesh is None:
+            return body
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from .parallel.mesh import DATA_AXIS
+
+        n = int(mesh.shape[DATA_AXIS])
+        sharded = shard_map(body, mesh=mesh, in_specs=P(DATA_AXIS),
+                            out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                            check_rep=False)
+
+        def run(frames):
+            B = frames.shape[0]
+            pad = (-B) % n
+            if pad:  # static per batch bucket; padded rows dropped below
+                frames = jnp.concatenate(
+                    [frames,
+                     jnp.broadcast_to(frames[:1], (pad,) + frames.shape[1:])])
+            det, cnt = sharded(frames)
+            return det[:B], cnt[:B]
+
+        return run
+
     def _pipeline(self, in_shape: Tuple[int, int], out_shape: Tuple[int, int],
                   multi_label: bool, agnostic: bool):
         """Build the single-launch uint8-frame -> detections executable."""
@@ -227,8 +274,7 @@ class SkyEyeDetector:
         conf, iou, max_det = self.conf_thres, self.iou_thres, self.max_det
         approx = self.approx_topk
 
-        @jax.jit
-        def run(frames):  # (B, H0, W0, 3) uint8 RGB
+        def body(frames):  # (B, H0, W0, 3) uint8 RGB
             from .ops.letterbox import letterbox_batch_jax
 
             x = letterbox_batch_jax(frames, out_shape) / 255.0
@@ -255,6 +301,7 @@ class SkyEyeDetector:
             )
             return det, n
 
+        run = jax.jit(self._shard_over_batch(body))
         self._executables[key] = run
         return run
 
@@ -271,8 +318,13 @@ class SkyEyeDetector:
                 config=self.config, dtype=self.module.dtype, packed_stem=True,
                 packed_stage1=True,
             )
-            self._packed = (module, pack_stage1_variables(
-                pack_stem_variables(self.variables, down1_p2p=True)))
+            pvars = pack_stage1_variables(
+                pack_stem_variables(self.variables, down1_p2p=True))
+            if self._mesh is not None:
+                from .parallel.mesh import replicated
+
+                pvars = jax.device_put(pvars, replicated(self._mesh))
+            self._packed = (module, pvars)
         return self._packed
 
     def _pipeline_canonical(self, out_shape: Tuple[int, int], multi_label: bool,
@@ -288,8 +340,7 @@ class SkyEyeDetector:
         conf, iou, max_det = self.conf_thres, self.iou_thres, self.max_det
         approx = self.approx_topk
 
-        @jax.jit
-        def run(frames):
+        def body(frames):
             x = frames.astype(module.dtype) / 255.0
             outs = module.apply(variables, x, train=False)
             if approx and not multi_label:
@@ -309,6 +360,7 @@ class SkyEyeDetector:
             )
             return det, n
 
+        run = jax.jit(self._shard_over_batch(body))
         self._executables[key] = run
         return run
 

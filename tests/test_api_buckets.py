@@ -122,3 +122,26 @@ def test_predict_files_native_fast_path(tmp_path):
             b_s = b[np.lexsort((b[:, 1], b[:, 0]))]
             match = np.abs(a_s[:, :4] - b_s[:, :4]).max(axis=1) < 2.0
             assert match.mean() > 0.9, f"only {match.mean():.0%} rows matched"
+
+
+def test_mesh_serving_matches_single_device():
+    """SkyEyeDetector(mesh=...) shards the batch over the data axis via
+    shard_map (per-device full pipeline, zero collectives) and must return the
+    same detections as the unsharded detector — including a batch that is not
+    a multiple of the mesh size (exercises the in-executable padding)."""
+    from skyeye_tpu.parallel.mesh import create_mesh
+
+    kw = dict(cfg="skyeye_s", num_classes=3, img_size=64, conf_thres=0.001)
+    base = SkyEyeDetector(**kw)
+    mesh = create_mesh(n_data=4)
+    sharded = SkyEyeDetector(mesh=mesh, **kw)
+
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 255, (60, 72, 3)).astype(np.uint8)
+            for _ in range(5)]  # buckets [4, 1]: 4 divides evenly, 1 pads to 4
+    r0 = base(imgs)
+    r1 = sharded(imgs)
+    assert len(r1) == len(imgs)
+    for d0, d1 in zip(r0.detections, r1.detections):
+        assert d0.shape == d1.shape
+        np.testing.assert_allclose(d1, d0, rtol=1e-4, atol=1e-4)
