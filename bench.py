@@ -521,7 +521,9 @@ def measure_single_640(batch: int = 1) -> dict:
 def measure_train_640(batch: int = 16, steps: int = 24) -> dict:
     """BASELINE config #5 protocol: skyeye_s train-step throughput at 640px
     batch 16 (fwd+bwd+optimizer+EMA in one launch; runtime-scalar schedules
-    as shipped by cli/train)."""
+    as shipped by cli/train). Headline is the bf16-activation step (`--half`,
+    the analogue of the reference's AMP-on protocol: f32 params/optimizer,
+    bf16 compute on the MXU); the f32 step is recorded alongside."""
     import jax
     import jax.numpy as jnp
 
@@ -537,15 +539,8 @@ def measure_train_640(batch: int = 16, steps: int = 24) -> dict:
     )
 
     cfg = ModelConfig.from_variant(VARIANT, nc=NC)
-    module = SkyEyeDetectorModule(config=cfg)
-    variables = module.init(jax.random.PRNGKey(0),
-                            jnp.zeros((2, 640, 640, 3)), train=True)
     loss_fn = ComputeLoss(jnp.asarray(cfg.anchors), cfg.nc)
-    tx = build_optimizer_runtime(DEFAULT_HYP, variables["params"],
-                                 batch_size=batch)
     sched = host_schedule(DEFAULT_HYP, epochs=100, steps_per_epoch=100)
-    state = create_train_state(variables, tx)
-    step = jax.jit(make_train_step(module, loss_fn, tx))
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(
@@ -558,29 +553,48 @@ def measure_train_640(batch: int = 16, steps: int = 24) -> dict:
                              rng.uniform(0.2, 0.8), rng.uniform(0.05, 0.2),
                              rng.uniform(0.05, 0.2)]
             mask[b, t] = True
-    batch_d = {
-        "images": images, "targets": jnp.asarray(targets),
-        "mask": jnp.asarray(mask),
+    base_batch = {
+        "targets": jnp.asarray(targets), "mask": jnp.asarray(mask),
         "n_valid": jnp.asarray(batch, jnp.int32),
         "opt_hyperparams": {k: jnp.float32(v) for k, v in sched(0).items()},
     }
-    t0 = time.time()
-    state, _ = step(state, batch_d)
-    jax.block_until_ready(state.params)
-    compile_s = time.time() - t0
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = step(state, batch_d)
-    jax.block_until_ready(state.params)
-    dt = (time.perf_counter() - t0) / steps
-    assert np.isfinite(float(metrics["loss"]))
+    def run_one(dtype):
+        module = SkyEyeDetectorModule(config=cfg, dtype=dtype)
+        variables = module.init(jax.random.PRNGKey(0),
+                                jnp.zeros((2, 640, 640, 3)), train=True)
+        tx = build_optimizer_runtime(DEFAULT_HYP, variables["params"],
+                                     batch_size=batch)
+        state = create_train_state(variables, tx)
+        step = jax.jit(make_train_step(module, loss_fn, tx))
+        batch_d = dict(base_batch, images=images)
+        t0 = time.time()
+        state, _ = step(state, batch_d)
+        jax.block_until_ready(state.params)
+        compile_s = time.time() - t0
+        t0 = time.perf_counter()
+        metrics = None
+        for _ in range(steps):
+            state, metrics = step(state, batch_d)
+        jax.block_until_ready(state.params)
+        dt = (time.perf_counter() - t0) / steps
+        assert np.isfinite(float(metrics["loss"]))
+        return batch / dt, dt * 1000, compile_s
+
+    ips_bf16, ms_bf16, comp_bf16 = run_one(jnp.bfloat16)
+    print(f"# bf16 train step: {ips_bf16:.1f} img/s ({ms_bf16:.1f} ms)",
+          file=sys.stderr)
+    ips_f32, ms_f32, comp_f32 = run_one(jnp.float32)
+    print(f"# f32 train step: {ips_f32:.1f} img/s ({ms_f32:.1f} ms)",
+          file=sys.stderr)
     return {
         "metric": f"skyeye_{VARIANT} train step @640px b{batch} "
-                  "(fwd+bwd+optimizer+EMA, one launch)",
-        "value": round(batch / dt, 1), "unit": "images/sec",
-        "ms_per_step": round(dt * 1000, 1),
-        "compile_s": round(compile_s, 1), "cached": False,
+                  "(fwd+bwd+optimizer+EMA, one launch, bf16 activations)",
+        "value": round(ips_bf16, 1), "unit": "images/sec",
+        "ms_per_step": round(ms_bf16, 1),
+        "f32_images_per_s": round(ips_f32, 1),
+        "f32_ms_per_step": round(ms_f32, 1),
+        "compile_s": round(comp_bf16 + comp_f32, 1), "cached": False,
     }
 
 
