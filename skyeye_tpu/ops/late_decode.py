@@ -56,6 +56,7 @@ def topk_candidates(
     max_nms: int = 4096,
     approx_topk: bool = True,
     class_mask: Optional[jnp.ndarray] = None,
+    recall_target: float = 0.95,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Raw per-level head logits -> top candidate (boxes_xyxy, scores, cls).
 
@@ -81,7 +82,16 @@ def topk_candidates(
                   if conf_thres > 0 else -math.inf)
     quotas = level_quotas([o.shape[1] * o.shape[2] * o.shape[3] for o in outputs],
                           max_nms)
-    topk = jax.lax.approx_max_k if approx_topk else jax.lax.top_k
+    # recall_target steers XLA's ApproxTopK partitioning: at the P3 geometry
+    # (k=768 of n=76800) the default 0.95 made the lowering fall back to a FULL
+    # exact sort — 1.03 ms/batch @1280 b16, the single biggest post-head op
+    # (profiles/r3_1280_latedecode approx_top_k.62 long_name is a sort, not the
+    # ApproxTopK custom call). A looser target keeps the O(n) partial-reduce
+    # path; the mAP gate for the cut is measured on chip (approx_topk_eval).
+    import functools as _ft
+
+    topk = (_ft.partial(jax.lax.approx_max_k, recall_target=recall_target)
+            if approx_topk else jax.lax.top_k)
 
     all_boxes, all_scores, all_cls = [], [], []
     for i, out in enumerate(outputs):
@@ -136,6 +146,7 @@ def late_decode_nms(
     max_nms: int = 4096,
     approx_topk: bool = True,
     class_mask: Optional[jnp.ndarray] = None,
+    recall_target: float = 0.95,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Raw head logits -> ((B, max_det, 6) detections, (B,) valid counts).
 
@@ -146,7 +157,8 @@ def late_decode_nms(
 
     boxes, scores, cls = topk_candidates(
         outputs, anchors, input_shape, conf_thres=conf_thres, max_nms=max_nms,
-        approx_topk=approx_topk, class_mask=class_mask)
+        approx_topk=approx_topk, class_mask=class_mask,
+        recall_target=recall_target)
     # one lockstep suppression pass for the whole batch (a vmap of the
     # per-image kernel serializes the batch on the TensorCore)
     return suppress_candidates_batched(boxes, scores, cls, iou_thres=iou_thres,
