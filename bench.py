@@ -146,12 +146,12 @@ def _build_pipeline(variant: str, img: int, nc: int, batch: int):
             # 38% of pipeline time (sort-bound; profiles/trace_1280); the
             # TPU-native approximate top-k is the serving-mode candidate cut
             # (exact-vs-approx mAP delta measured on chip: BASELINE.md)
-            # SKYEYE_TOPK_RECALL tunes the ApproxTopK recall target (default
-            # 0.95 fell back to a full sort at P3 geometry — late_decode.py)
-            recall = float(os.environ.get("SKYEYE_TOPK_RECALL", "0.95"))
+            # SKYEYE_TOPK_RECALL tunes the ApproxTopK recall target for every
+            # approx cut (late_decode.default_recall_target; default 0.95 fell
+            # back to a full sort at P3 geometry)
             return late_decode_nms(outs, anchors, (img, img), conf_thres=0.25,
                                    iou_thres=0.45, max_det=300, max_nms=1024,
-                                   approx_topk=True, recall_target=recall)
+                                   approx_topk=True)
         # serving: skip the reference-order transpose (row order is
         # irrelevant to NMS; saves a ~75 MB relayout per batch)
         dec = decode_predictions(outs, anchors, (img, img), anchor_major=False)

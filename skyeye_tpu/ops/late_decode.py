@@ -25,13 +25,40 @@ Multi-label serving and mAP evaluation keep the canonical decode path.
 """
 from __future__ import annotations
 
+import functools
 import math
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from .boxes import xywh2xyxy
+
+
+def default_recall_target() -> float:
+    """Serving-wide ApproxTopK recall target (env `SKYEYE_TOPK_RECALL`).
+
+    recall_target steers XLA's ApproxTopK partitioning: at the P3 geometry
+    (k=768 of n=76800) the default 0.95 makes the lowering fall back to a FULL
+    exact sort — 1.03 ms/batch @1280 b16, the single biggest post-head op
+    (profiles/r3_1280_latedecode: approx_top_k.62 long_name is a sort, not the
+    ApproxTopK custom call). A looser target keeps the O(n) partial-reduce
+    path; the mAP impact of the cut is gated on chip (tools/approx_topk_eval).
+    Every approx candidate cut (api, detect, bench, late_decode, nms) resolves
+    through here so the serving default is one value.
+    """
+    return float(os.environ.get("SKYEYE_TOPK_RECALL", "0.95"))
+
+
+def approx_or_exact_topk(approx: bool, recall_target: Optional[float] = None):
+    """The shared top-k operator: `jax.lax.approx_max_k` at the serving recall
+    target (see default_recall_target) or the exact `jax.lax.top_k`."""
+    if not approx:
+        return jax.lax.top_k
+    if recall_target is None:
+        recall_target = default_recall_target()
+    return functools.partial(jax.lax.approx_max_k, recall_target=recall_target)
 
 
 def level_quotas(counts: Sequence[int], max_nms: int) -> List[int]:
@@ -56,7 +83,7 @@ def topk_candidates(
     max_nms: int = 4096,
     approx_topk: bool = True,
     class_mask: Optional[jnp.ndarray] = None,
-    recall_target: float = 0.95,
+    recall_target: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Raw per-level head logits -> top candidate (boxes_xyxy, scores, cls).
 
@@ -82,16 +109,7 @@ def topk_candidates(
                   if conf_thres > 0 else -math.inf)
     quotas = level_quotas([o.shape[1] * o.shape[2] * o.shape[3] for o in outputs],
                           max_nms)
-    # recall_target steers XLA's ApproxTopK partitioning: at the P3 geometry
-    # (k=768 of n=76800) the default 0.95 made the lowering fall back to a FULL
-    # exact sort — 1.03 ms/batch @1280 b16, the single biggest post-head op
-    # (profiles/r3_1280_latedecode approx_top_k.62 long_name is a sort, not the
-    # ApproxTopK custom call). A looser target keeps the O(n) partial-reduce
-    # path; the mAP gate for the cut is measured on chip (approx_topk_eval).
-    import functools as _ft
-
-    topk = (_ft.partial(jax.lax.approx_max_k, recall_target=recall_target)
-            if approx_topk else jax.lax.top_k)
+    topk = approx_or_exact_topk(approx_topk, recall_target)
 
     all_boxes, all_scores, all_cls = [], [], []
     for i, out in enumerate(outputs):
@@ -146,7 +164,7 @@ def late_decode_nms(
     max_nms: int = 4096,
     approx_topk: bool = True,
     class_mask: Optional[jnp.ndarray] = None,
-    recall_target: float = 0.95,
+    recall_target: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Raw head logits -> ((B, max_det, 6) detections, (B,) valid counts).
 

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from .boxes import xywh2xyxy
+from .late_decode import approx_or_exact_topk
 
 
 def _pallas_nms_enabled() -> bool:
@@ -258,7 +259,7 @@ def _candidate_cut(prediction, conf_thres: float, multi_label: bool,
             scores_full = jnp.where(class_mask[None, :], scores_full, -1.0)
         flat = scores_full.reshape(-1)
         k = min(max_nms, flat.shape[0])
-        topk = jax.lax.approx_max_k if approx_topk else jax.lax.top_k
+        topk = approx_or_exact_topk(approx_topk)
         top_scores, top_flat_idx = topk(flat, k)
         box_idx = top_flat_idx // nc
         cls_idx = (top_flat_idx % nc).astype(jnp.float32)
@@ -272,7 +273,7 @@ def _candidate_cut(prediction, conf_thres: float, multi_label: bool,
         if class_mask is not None:
             score = jnp.where(class_mask[best_cls], score, -1.0)
         k = min(max_nms, score.shape[0])
-        topk = jax.lax.approx_max_k if approx_topk else jax.lax.top_k
+        topk = approx_or_exact_topk(approx_topk)
         top_scores, top_idx = topk(score, k)
         cand_boxes = boxes[top_idx]
         cand_scores = top_scores

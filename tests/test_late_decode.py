@@ -102,3 +102,30 @@ def test_late_decode_empty_image():
                              approx_topk=False)
     assert np.asarray(n).sum() == 0
     assert np.asarray(det).sum() == 0.0
+
+
+def test_recall_target_plumbing(monkeypatch):
+    """SKYEYE_TOPK_RECALL reaches every approx cut through
+    default_recall_target, and the approx path still matches exact on CPU
+    (approx_max_k is exact there — this pins the wiring, not TPU recall;
+    the on-chip mAP gate is tools/approx_topk_eval.py)."""
+    from skyeye_tpu.ops.late_decode import (approx_or_exact_topk,
+                                            default_recall_target)
+
+    monkeypatch.setenv("SKYEYE_TOPK_RECALL", "0.8")
+    assert default_recall_target() == 0.8
+    topk = approx_or_exact_topk(True)
+    assert topk.keywords["recall_target"] == 0.8
+    assert approx_or_exact_topk(True, 0.9).keywords["recall_target"] == 0.9
+    import jax
+    assert approx_or_exact_topk(False) is jax.lax.top_k
+
+    rng = np.random.default_rng(3)
+    outs = _raw_outputs(rng)
+    det_ref, n_ref = _canonical(outs)
+    det, n = late_decode_nms(outs, ANCHORS, (IMG, IMG), conf_thres=0.25,
+                             iou_thres=0.45, max_det=100, max_nms=512,
+                             approx_topk=True, recall_target=0.8)
+    np.testing.assert_array_equal(np.asarray(n), np.asarray(n_ref))
+    np.testing.assert_allclose(np.asarray(det), np.asarray(det_ref),
+                               rtol=1e-5, atol=1e-4)
