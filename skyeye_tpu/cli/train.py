@@ -83,6 +83,7 @@ def train(
     debug_nans: bool = False,
     ref_exact_cross_attn: Optional[bool] = None,
     remat: str = "",  # "" = off, "block" | "stage" (see models.backbone)
+    fsdp: bool = False,
 ):
     from ..data.dataset import create_dataloader
     from ..parallel import create_mesh, shard_batch
@@ -268,7 +269,18 @@ def train(
 
         aug_fn = _partial(augment_batch_device, hyp=hyp_dict,
                           use_mosaic=hyp_dict.get("mosaic", 1.0) > 0)
-    step_fn = jax.jit(make_train_step(module, loss_fn, tx, device_augment=aug_fn))
+    raw_step = make_train_step(module, loss_fn, tx, device_augment=aug_fn)
+    if fsdp and mesh is not None and n_data > 1:
+        # ZeRO/FSDP: params/opt/EMA live sharded over the data axis; XLA
+        # all-gathers weights just-in-time and reduce-scatters gradients
+        # (parallel/fsdp.py). ~n_data x less state memory per device.
+        from ..parallel import jit_fsdp_step, shard_train_state
+
+        state = shard_train_state(mesh, state)
+        step_fn = jit_fsdp_step(raw_step, mesh, state)
+        LOGGER.info("FSDP: training state sharded over data axis (%d-way)", n_data)
+    else:
+        step_fn = jax.jit(raw_step)
     stopper = EarlyStopping(patience=patience)
     results_file = save_dir / "results.csv"
     if not results_file.exists():
@@ -405,6 +417,10 @@ def parse_opt():
     p.add_argument("--half", action="store_true", help="bfloat16 activations")
     p.add_argument("--spatial-shards", type=int, default=1,
                    help="shard image rows over this many mesh devices (GSPMD halo)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-shard params/optimizer/EMA over the data axis "
+                        "(~N_data x less training-state memory per device; XLA "
+                        "all-gathers weights just-in-time over ICI)")
     p.add_argument("--debug-nans", action="store_true",
                    help="abort with a traceback at the first NaN (jax_debug_nans)")
     p.add_argument("--evolve", type=int, nargs="?", const=10, default=0,

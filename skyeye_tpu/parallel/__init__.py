@@ -1,4 +1,5 @@
 """Mesh/sharding utilities for multi-chip SPMD execution."""
+from .fsdp import jit_fsdp_step, leaf_sharding, shard_train_state, state_shardings
 from .mesh import (
     DATA_AXIS,
     SPATIAL_AXIS,
@@ -15,6 +16,10 @@ from .mesh import (
 
 __all__ = [
     "DATA_AXIS",
+    "jit_fsdp_step",
+    "leaf_sharding",
+    "shard_train_state",
+    "state_shardings",
     "SPATIAL_AXIS",
     "batch_sharding",
     "create_mesh",

@@ -592,3 +592,62 @@ def test_opt_hyperparams_reach_optimizer():
               for a, b in zip(jax.tree_util.tree_leaves(moved.params),
                               jax.tree_util.tree_leaves(state.params))]
     assert max(deltas) > 1e-6, "lr=0.5 produced no parameter movement"
+
+
+def test_train_step_fsdp_matches_unsharded():
+    """ZeRO/FSDP sharded training state (parallel/fsdp.py): params, optimizer
+    accumulators, EMA and BN stats live sharded over the data axis, XLA
+    schedules the all-gather/reduce-scatter, and the updated state (a) matches
+    the replicated data-parallel run and (b) stays sharded after the step."""
+    from skyeye_tpu.parallel import jit_fsdp_step, shard_train_state
+
+    assert len(jax.devices()) == 8
+    mesh = create_mesh()
+    cfg, module, variables = tiny_model()
+    loss_fn = ComputeLoss(jnp.asarray(cfg.anchors), cfg.nc)
+    tx = build_optimizer(lambda s: 0.05, DEFAULT_HYP, variables["params"],
+                         batch_size=64)
+    state = create_train_state(variables, tx)
+    step_fn = make_train_step(module, loss_fn, tx)
+
+    batch = make_batch(B=8)
+    b_shard = batch_sharding(mesh)
+    sharded_batch = {k: jax.device_put(v, b_shard) for k, v in batch.items()}
+
+    fstate = shard_train_state(mesh, state)
+    # the state must genuinely be partitioned: some leaf's per-device shard
+    # holds 1/8 of the elements
+    shard_fracs = [
+        leaf.addressable_shards[0].data.size / leaf.size
+        for leaf in jax.tree_util.tree_leaves(fstate.params)
+        if leaf.size >= 8
+    ]
+    assert min(shard_fracs) == 1.0 / 8.0, shard_fracs
+
+    step = jit_fsdp_step(step_fn, mesh, state)
+    fstate2, metrics = step(fstate, sharded_batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # updated params keep the sharded layout (pinned out_shardings)
+    fracs2 = [
+        leaf.addressable_shards[0].data.size / leaf.size
+        for leaf in jax.tree_util.tree_leaves(fstate2.params)
+        if leaf.size >= 8
+    ]
+    assert min(fracs2) == 1.0 / 8.0
+
+    # equality vs the plain replicated run on the same global batch
+    dev0 = jax.devices()[0]
+    state_sd, metrics_sd = jax.jit(step_fn)(
+        jax.device_put(state, dev0),
+        jax.tree_util.tree_map(lambda x: jax.device_put(x, dev0), batch),
+    )
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(metrics_sd["loss"]), rtol=2e-4)
+    # tolerance: grads arrive as reduce-scatter instead of all-reduce, so the
+    # reduction order differs — measured max-abs param delta after one update
+    # is ~3e-5 at lr 0.05 (pure float noise, same class as the data-parallel
+    # loss rtol above)
+    for a, b in zip(jax.tree_util.tree_leaves(fstate2.params),
+                    jax.tree_util.tree_leaves(state_sd.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4)
