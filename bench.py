@@ -73,9 +73,13 @@ def _build_pipeline(variant: str, img: int, nc: int, batch: int):
     # (profiles/r3_1280: the 3x3 32->32 alone was 3.1 ms vs 0.26 roofline).
     # SKYEYE_NO_PACKED_STAGE1=1 opts out; exclusive with fused/int8 paths.
     pstage1 = not (fused or int8 or os.environ.get("SKYEYE_NO_PACKED_STAGE1"))
+    # merged cv1+cv2 split convs (ops/merged_csp.py): every CSP's two 1x1 split
+    # convs read the same input; one 2h-channel conv reads it from HBM once.
+    # Exact remap (tests/test_merged_csp.py). SKYEYE_NO_MERGED_CSP=1 opts out.
+    merged = not os.environ.get("SKYEYE_NO_MERGED_CSP")
     module = SkyEyeDetectorModule(config=cfg, dtype=jnp.bfloat16, packed_stem=True,
                                   fused_csp=fused, int8_early=int8,
-                                  packed_stage1=pstage1)
+                                  packed_stage1=pstage1, merged_csp=merged)
     canonical = SkyEyeDetectorModule(config=cfg, dtype=jnp.bfloat16)
     variables = canonical.init(
         jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3), jnp.float32), train=False
@@ -133,6 +137,13 @@ def _build_pipeline(variant: str, img: int, nc: int, batch: int):
         from skyeye_tpu.ops.packed_stem import fold_input_scale
 
         variables = fold_input_scale(variables)
+
+    if merged:
+        from skyeye_tpu.ops.merged_csp import merge_csp_cv12_variables
+
+        # signature-driven walk: rewrites every remaining canonical CSP subtree
+        # (packed/int8-replaced stages are left alone)
+        variables = merge_csp_cv12_variables(variables)
 
     def body(frames):  # uint8 (B, H/4, W/4, 48) host-packed (s2d4_host)
         x = frames.astype(jnp.bfloat16)

@@ -311,15 +311,19 @@ class SkyEyeDetector:
             from .ops.packed_csp import pack_stage1_variables
             from .ops.packed_stem import pack_stem_variables
 
-            # packed stem + packed stage 1 (ops/packed_csp.py): both exact
-            # weight remaps; stage 1 otherwise pays 2-4x lane-padding HBM
-            # waste at C=32/64 (profiles/r3_1280)
+            from .ops.merged_csp import merge_csp_cv12_variables
+
+            # packed stem + packed stage 1 (ops/packed_csp.py) + merged CSP
+            # split convs (ops/merged_csp.py): all exact weight remaps; stage 1
+            # otherwise pays 2-4x lane-padding HBM waste at C=32/64
+            # (profiles/r3_1280), and each CSP's cv1+cv2 otherwise reads its
+            # input from HBM twice
             module = SkyEyeDetectorModule(
                 config=self.config, dtype=self.module.dtype, packed_stem=True,
-                packed_stage1=True,
+                packed_stage1=True, merged_csp=True,
             )
-            pvars = pack_stage1_variables(
-                pack_stem_variables(self.variables, down1_p2p=True))
+            pvars = merge_csp_cv12_variables(pack_stage1_variables(
+                pack_stem_variables(self.variables, down1_p2p=True)))
             if self._mesh is not None:
                 from .parallel.mesh import replicated
 

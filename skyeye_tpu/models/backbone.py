@@ -67,6 +67,10 @@ class CSPDarknet(nn.Module):
     # pack_stage1_variables — the stage-1 C=32/64 tensors otherwise pay 2-4x
     # lane-padding HBM waste, measured profiles/r3_1280).
     packed_stage1: bool = False
+    # Serving-path merged CSP split convs: each CSP's cv1+cv2 (two 1x1 convs
+    # reading the SAME input) run as one conv — one HBM read of the input
+    # instead of two (exact weight remap via ops/merged_csp.py).
+    merged_csp: bool = False
     # Training memory lever: rematerialize activations in the backward pass
     # (jax.checkpoint) instead of storing them. False = off; True/"block" =
     # checkpoint each CSP/SPP block (drops intra-block intermediates only,
@@ -108,7 +112,7 @@ class CSPDarknet(nn.Module):
 
         def csp1_down2(mdl, x, train):
             x = CSP(c2, scaled_depth(3, d), dtype=mdl.dtype,
-                    name="csp1")(x, train)
+                    merged_cv12=mdl.merged_csp, name="csp1")(x, train)
             return ConvBlock(c3, 3, stride=2, dtype=mdl.dtype,
                              name="down2")(x, train)
 
@@ -117,20 +121,20 @@ class CSPDarknet(nn.Module):
 
         def stage2(mdl, x, train):
             return CSP(c3, scaled_depth(9, d), dtype=mdl.dtype,
-                       name="csp2")(x, train)
+                       merged_cv12=mdl.merged_csp, name="csp2")(x, train)
 
         def stage3(mdl, x, train):
             x = ConvBlock(c4, 3, stride=2, dtype=mdl.dtype,
                           name="down3")(x, train)
             x = CSP(c4, scaled_depth(9, d), dtype=mdl.dtype,
-                    name="csp3")(x, train)
+                    merged_cv12=mdl.merged_csp, name="csp3")(x, train)
             return CBAM(dtype=mdl.dtype, name="cbam3")(x)
 
         def stage4(mdl, x, train):
             x = ConvBlock(c5, 3, stride=2, dtype=mdl.dtype,
                           name="down4")(x, train)
             x = CSP(c5, scaled_depth(3, d), dtype=mdl.dtype,
-                    name="csp4")(x, train)
+                    merged_cv12=mdl.merged_csp, name="csp4")(x, train)
             return SPP(c5, dtype=mdl.dtype, name="spp4")(x, train)
 
         if use_stage:
@@ -192,77 +196,5 @@ class CSPDarknet(nn.Module):
         # Stage 3 (/16) -> P4, with CBAM; Stage 4 (/32) -> P5, with SPP
         p4 = wrap(stage3)(self, p3, train)
         p5 = wrap(stage4)(self, p4, train)
-
-        return [p3, p4, p5]
-
-        if self.int8_early:
-            assert self.packed_stem, "int8_early requires the packed-stem layout"
-            from ..ops.int8_stage import Int8EarlyStage
-            from ..ops.packed_stem import s2d4_device
-
-            if x.shape[-1] == 3:
-                x = s2d4_device(x)
-            p3 = Int8EarlyStage(
-                c1=c1, c2=c2, c3=c3, nb1=scaled_depth(3, d),
-                nb2=scaled_depth(9, d), dtype=self.dtype, name="int8_early",
-            )(x, train)
-        else:
-            # Stage 1 (/4): Focus -> conv/2 -> CSP(3d)
-            if self.packed_stem:
-                from ..ops.packed_stem import s2d4_device
-
-                if x.shape[-1] == 3:  # raw image: pack on device
-                    x = s2d4_device(x)
-                x = ConvBlock(4 * c1, 3, stride=1, dtype=self.dtype,
-                              name="stem")(x, train)
-                if self.packed_stage1:
-                    # packed-in/packed-out down1 (pack_down1_p2p_kernel): emits
-                    # the 2x2-s2d layout PackedStage1 consumes — no transpose
-                    x = ConvBlock(4 * c2, 3, stride=2, padding=((1, 0), (1, 0)),
-                                  dtype=self.dtype, name="down1")(x, train)
-                else:
-                    x = ConvBlock(c2, 2, stride=1, padding=((1, 0), (1, 0)),
-                                  dtype=self.dtype, name="down1")(x, train)
-            else:
-                x = FocusBlock(c1, kernel_size=3, dtype=self.dtype,
-                               name="stem")(x, train)
-                x = ConvBlock(c2, 3, stride=2, dtype=self.dtype,
-                              name="down1")(x, train)
-            if self.packed_stage1:
-                assert not (self.fused_csp or self.int8_early), (
-                    "packed_stage1 is exclusive with fused_csp/int8_early")
-                from ..ops.packed_csp import PackedStage1
-
-                # csp1 + down2 in one packed-domain stage (emits canonical /8);
-                # with packed_stem the input is already 2x2-s2d packed (p2p down1)
-                x = PackedStage1(c2=c2, c3=c3, num_blocks=scaled_depth(3, d),
-                                 packed_input=self.packed_stem,
-                                 dtype=self.dtype, name="packed_stage1")(x, train)
-            elif self.fused_csp:
-                from ..ops.fused_csp import FusedCSPBlock
-
-                x = FusedCSPBlock(c2, scaled_depth(3, d), dtype=self.dtype,
-                                  name="csp1")(x, train)
-                x = ConvBlock(c3, 3, stride=2, dtype=self.dtype,
-                              name="down2")(x, train)
-            else:
-                x = CSP(c2, scaled_depth(3, d), dtype=self.dtype,
-                        name="csp1")(x, train)
-                x = ConvBlock(c3, 3, stride=2, dtype=self.dtype,
-                              name="down2")(x, train)
-
-            # Stage 2 (/8) -> P3
-            p3 = CSP(c3, scaled_depth(9, d), dtype=self.dtype,
-                     name="csp2")(x, train)
-
-        # Stage 3 (/16) -> P4, with CBAM
-        x = ConvBlock(c4, 3, stride=2, dtype=self.dtype, name="down3")(p3, train)
-        x = CSP(c4, scaled_depth(9, d), dtype=self.dtype, name="csp3")(x, train)
-        p4 = CBAM(dtype=self.dtype, name="cbam3")(x)
-
-        # Stage 4 (/32) -> P5, with SPP
-        x = ConvBlock(c5, 3, stride=2, dtype=self.dtype, name="down4")(p4, train)
-        x = CSP(c5, scaled_depth(3, d), dtype=self.dtype, name="csp4")(x, train)
-        p5 = SPP(c5, dtype=self.dtype, name="spp4")(x, train)
 
         return [p3, p4, p5]

@@ -122,23 +122,37 @@ class Bottleneck(nn.Module):
 
 
 class CSPBlock(nn.Module):
-    """Cross-stage-partial: split -> N bottlenecks || bypass -> concat -> 1x1."""
+    """Cross-stage-partial: split -> N bottlenecks || bypass -> concat -> 1x1.
+
+    merged_cv12: serving-path layout that computes the two 1x1 split convs
+    (cv1, cv2 — both read the SAME input) as ONE conv with 2*hidden output
+    channels, then splits. Exactly equivalent per-channel math (conv output
+    channels are independent; BN stats are per-channel), but the input tensor
+    is read from HBM once instead of twice — the split convs at 160-320px maps
+    are HBM-bound (profiles/roofline.json). Use with variables transformed by
+    ops.merged_csp.merge_csp_cv12_variables.
+    """
 
     out_channels: int
     num_blocks: int = 1
     shortcut: bool = True
     expansion: float = 0.5
     dtype: Any = jnp.float32
+    merged_cv12: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = int(self.out_channels * self.expansion)
-        y1 = ConvBlock(hidden, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        if self.merged_cv12:
+            y12 = ConvBlock(2 * hidden, 1, 1, dtype=self.dtype, name="cv12")(x, train)
+            y1, y2 = y12[..., :hidden], y12[..., hidden:]
+        else:
+            y1 = ConvBlock(hidden, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+            y2 = ConvBlock(hidden, 1, 1, dtype=self.dtype, name="cv2")(x, train)
         for i in range(self.num_blocks):
             y1 = Bottleneck(
                 hidden, self.shortcut, 1.0, dtype=self.dtype, name=f"m{i}"
             )(y1, train)
-        y2 = ConvBlock(hidden, 1, 1, dtype=self.dtype, name="cv2")(x, train)
         y = jnp.concatenate([y1, y2], axis=-1)
         return ConvBlock(self.out_channels, 1, 1, dtype=self.dtype, name="cv3")(y, train)
 

@@ -45,6 +45,9 @@ class SkyEyeDetectorModule(nn.Module):
     # serving-path packed stage 1 (ops/packed_csp.py); use with variables
     # transformed by pack_stage1_variables — numerically exact full-lane csp1
     packed_stage1: bool = False
+    # serving-path merged CSP split convs (one cv1+cv2 conv per CSP; use with
+    # variables transformed by ops.merged_csp.merge_csp_cv12_variables)
+    merged_csp: bool = False
     # parity/weight-import mode: run the enhanced cross-layer attention with the
     # reference's exact (repaired) degenerate semantics — see
     # CrossLayerAttention.ref_exact. Only meaningful with config.enhanced.
@@ -68,6 +71,7 @@ class SkyEyeDetectorModule(nn.Module):
             fused_csp=self.fused_csp,
             int8_early=self.int8_early,
             packed_stage1=self.packed_stage1,
+            merged_csp=self.merged_csp,
             remat=self.remat,
             name="backbone",
         )(x, train)
@@ -78,6 +82,7 @@ class SkyEyeDetectorModule(nn.Module):
         p3, p4, p5 = Neck(
             in_channels=tuple(channels), dtype=self.dtype,
             remat=(self.remat is True or self.remat == "block"),
+            merged_csp=self.merged_csp,
             name="neck"
         )(feats, train)
 

@@ -40,6 +40,8 @@ class FeatureNeck(nn.Module):
     dtype: Any = jnp.float32
     # rematerialize the fusion CSP blocks in the backward pass (see CSPDarknet)
     remat: bool = False
+    # serving-path merged cv1+cv2 split convs (see CSPBlock.merged_cv12)
+    merged_csp: bool = False
 
     @property
     def out_channels(self) -> List[int]:
@@ -56,21 +58,23 @@ class FeatureNeck(nn.Module):
         p4_td = ConvBlock(c3, 1, 1, dtype=self.dtype, name="lateral4")(p4, train)
 
         p4_merged = jnp.concatenate([upsample_nearest_2x(p5_td), p4], axis=-1)
-        p4_processed = CSP(c4, 3, dtype=self.dtype,
+        p4_processed = CSP(c4, 3, dtype=self.dtype, merged_cv12=self.merged_csp,
                            name="fpn4")(p4_merged, train)
 
         p3_merged = jnp.concatenate([upsample_nearest_2x(p4_td), p3], axis=-1)
-        p3_processed = CSP(c3, 3, dtype=self.dtype,
+        p3_processed = CSP(c3, 3, dtype=self.dtype, merged_cv12=self.merged_csp,
                            name="fpn3")(p3_merged, train)
 
         # Bottom-up path
         p3_down = ConvBlock(c3, 3, 2, dtype=self.dtype, name="down3")(p3_processed, train)
-        p4_out = CSP(c4, 3, dtype=self.dtype, name="pan4")(
+        p4_out = CSP(c4, 3, dtype=self.dtype, merged_cv12=self.merged_csp,
+                     name="pan4")(
             jnp.concatenate([p3_down, p4_processed], axis=-1), train
         )
 
         p4_down = ConvBlock(c4, 3, 2, dtype=self.dtype, name="down4")(p4_out, train)
-        p5_out = CSP(c5, 3, dtype=self.dtype, name="pan5")(
+        p5_out = CSP(c5, 3, dtype=self.dtype, merged_cv12=self.merged_csp,
+                     name="pan5")(
             jnp.concatenate([p4_down, p5], axis=-1), train
         )
 
