@@ -178,7 +178,9 @@ def _build_pipeline(variant: str, img: int, nc: int, batch: int):
     def pipeline_burst(stack):  # (K, B, H/4, W/4, 48): K batches, ONE launch
         return jax.lax.scan(lambda c, fr: (c, body(fr)), 0, stack)[1]
 
-    return pipeline, pipeline_burst, module, variables
+    # the raw step fn, for callers that re-jit with AOT options (measure_tpu
+    # compiles an input-layout-AUTO executable from it)
+    return pipeline, pipeline_burst, module, variables, body
 
 
 def _probe_batched_nms_kernel():
@@ -214,7 +216,7 @@ def measure_tpu() -> dict:
 
     from skyeye_tpu.ops.packed_stem import s2d4_host
 
-    pipeline, pipeline_burst, module, variables = _build_pipeline(
+    pipeline, pipeline_burst, module, variables, body = _build_pipeline(
         VARIANT, IMG, NC, BATCH
     )
 
@@ -223,11 +225,46 @@ def measure_tpu() -> dict:
         rng.integers(0, 255, (BATCH, IMG, IMG, 3)).astype(np.uint8)
         for _ in range(4)
     ]
-    frames = [jnp.asarray(s2d4_host(f)) for f in raw_frames[:2]]
+    packed_host = [s2d4_host(f) for f in raw_frames[:2]]
+    frames = [jnp.asarray(p) for p in packed_host]
 
-    t0 = time.time()
-    jax.block_until_ready(pipeline(frames[0]))
-    compile_s = time.time() - t0
+    # input-layout AUTO: by default jit pins inputs to the row-major default
+    # layout and the compiled program relayouts them on chip EVERY launch
+    # (profiles/r3s4_1280 copy.145: 0.89 ms/launch just re-tiling the uint8
+    # frames). AOT-compiling with Layout.AUTO lets XLA pick the input tiling,
+    # and device_put-ing the frames in that format once makes every timed
+    # launch start from the layout the convs want. Exact same program.
+    # SKYEYE_NO_AUTO_LAYOUT=1 opts out; any failure falls back to default.
+    import os
+
+    put_input = jnp.asarray  # H2D in whatever layout the pipeline expects
+    compile_s = None
+    if not os.environ.get("SKYEYE_NO_AUTO_LAYOUT"):
+        try:
+            from jax.experimental.layout import Format, Layout
+
+            t0 = time.time()
+            compiled = (
+                jax.jit(body, in_shardings=Format(Layout.AUTO))
+                .lower(jax.ShapeDtypeStruct(frames[0].shape, jnp.uint8))
+                .compile()
+            )
+            fmt = compiled.input_formats[0][0]
+            opt_frames = [jax.device_put(p, fmt) for p in packed_host]
+            jax.block_until_ready(compiled(opt_frames[0]))
+            compile_s = time.time() - t0
+            pipeline, frames = compiled, opt_frames
+            put_input = lambda p: jax.device_put(p, fmt)  # noqa: E731
+            print(f"# input-layout AUTO engaged: "
+                  f"{fmt.layout.major_to_minor}", file=sys.stderr)
+        except Exception as e:
+            print(f"# input-layout AUTO unavailable ({str(e)[:150]}); "
+                  f"default layout", file=sys.stderr)
+
+    if compile_s is None:
+        t0 = time.time()
+        jax.block_until_ready(pipeline(frames[0]))
+        compile_s = time.time() - t0
     print(f"# compile: {compile_s:.1f}s", file=sys.stderr)
 
     # analytic forward FLOPs for the MFU figure (traced-jaxpr conv/dot count).
@@ -271,7 +308,27 @@ def measure_tpu() -> dict:
     # ~28 ms relay dispatch that dominates single-batch latency (VERDICT r2 #9)
     burst_ips = None
     try:
-        stack = jnp.stack([frames[i % 2] for i in range(BURST)])
+        host_stack = np.stack([packed_host[i % 2] for i in range(BURST)])
+        stack = jnp.asarray(host_stack)
+        if not os.environ.get("SKYEYE_NO_AUTO_LAYOUT"):
+            try:
+                from jax.experimental.layout import Format, Layout
+
+                def burst_body(st):
+                    return jax.lax.scan(
+                        lambda c, fr: (c, body(fr)), 0, st)[1]
+
+                bc = (
+                    jax.jit(burst_body, in_shardings=Format(Layout.AUTO))
+                    .lower(jax.ShapeDtypeStruct(stack.shape, jnp.uint8))
+                    .compile()
+                )
+                bfmt = bc.input_formats[0][0]
+                stack = jax.device_put(host_stack, bfmt)
+                pipeline_burst = bc
+            except Exception as e:
+                print(f"# burst AUTO layout unavailable ({str(e)[:120]})",
+                      file=sys.stderr)
         t0 = time.time()
         jax.block_until_ready(pipeline_burst(stack))
         print(f"# burst compile+run: {time.time() - t0:.1f}s", file=sys.stderr)
@@ -326,7 +383,7 @@ def measure_tpu() -> dict:
                 pack_futs[i % 3] = ex.submit(
                     s2d4_host, raw_frames[(i + 3) % len(raw_frames)]
                 )
-            det, n = pipeline(jnp.asarray(packed))  # H2D + launch, async
+            det, n = pipeline(put_input(packed))  # H2D + launch, async
             results.append((det, n))
             if len(results) > 3:  # bounded in-flight queue, serving-style
                 d, nn = results.pop(0)
@@ -376,7 +433,7 @@ def measure_transformer_1280(batch: int = 4) -> dict:
     _probe_batched_nms_kernel()
     from skyeye_tpu.ops.packed_stem import s2d4_host
 
-    pipeline, _, module, variables = _build_pipeline(
+    pipeline, _, module, variables, _body = _build_pipeline(
         "l_transformer", IMG, NC, batch
     )
     rng = np.random.default_rng(0)
@@ -500,7 +557,7 @@ def measure_single_640(batch: int = 1) -> dict:
     _probe_batched_nms_kernel()
     from skyeye_tpu.ops.packed_stem import s2d4_host
 
-    pipeline, _, _, _ = _build_pipeline(VARIANT, 640, NC, batch)
+    pipeline, _, _, _, _body = _build_pipeline(VARIANT, 640, NC, batch)
     rng = np.random.default_rng(0)
     frames = [
         jnp.asarray(s2d4_host(

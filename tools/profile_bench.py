@@ -80,7 +80,7 @@ def main():
     import bench
     from skyeye_tpu.ops.packed_stem import s2d4_host
 
-    pipeline, _burst, module, variables = bench._build_pipeline(
+    pipeline, _burst, module, variables, _body = bench._build_pipeline(
         args.variant, args.img, 10, args.batch
     )
 

@@ -111,7 +111,7 @@ def main():
 
     import bench
 
-    pipeline, _b, _m, _v = bench._build_pipeline(
+    pipeline, _b, _m, _v, _body = bench._build_pipeline(
         args.variant, args.img, 10, args.batch
     )
     frames = jnp.zeros(
