@@ -183,6 +183,38 @@ def _build_pipeline(variant: str, img: int, nc: int, batch: int):
     return pipeline, pipeline_burst, module, variables, body
 
 
+def _put_with_format(host_arr, fmt, _preps={}):
+    """Materialize a host array on device in an explicit Format.
+
+    NOT via jax.device_put(np_array, Format): that path is unreliable through
+    this environment's relay — it nondeterministically returns a different
+    layout than requested (live-observed (0,1,3,2) and (0,1,2,4,3) instead of
+    the requested ones, with and without the persistent compilation cache).
+    Instead: default-layout H2D, then an AOT identity executable whose OUTPUT
+    format is pinned via out_shardings — the layout is enforced by the
+    executable itself, which live-verification shows always honors it. The
+    result layout is still asserted so any residual mismatch aborts the
+    AUTO-layout path instead of wedging the device with a doomed execution."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.layout import Format
+
+    key = (host_arr.shape, str(host_arr.dtype), str(fmt.layout))
+    prep = _preps.get(key)
+    if prep is None:
+        prep = (
+            jax.jit(lambda x: x, out_shardings=Format(fmt.layout, fmt.sharding))
+            .lower(jax.ShapeDtypeStruct(host_arr.shape, host_arr.dtype))
+            .compile()
+        )
+        _preps[key] = prep
+    arr = prep(jnp.asarray(host_arr))
+    if arr.format.layout != fmt.layout:
+        raise RuntimeError(
+            f"relayout produced {arr.format.layout}, wanted {fmt.layout}")
+    return arr
+
+
 def _probe_batched_nms_kernel():
     """Compile-probe the batched lockstep NMS kernel on a tiny shape; on any
     Mosaic failure set SKYEYE_NO_BATCHED_NMS so every pipeline built afterwards
@@ -226,7 +258,6 @@ def measure_tpu() -> dict:
         for _ in range(4)
     ]
     packed_host = [s2d4_host(f) for f in raw_frames[:2]]
-    frames = [jnp.asarray(p) for p in packed_host]
 
     # input-layout AUTO: by default jit pins inputs to the row-major default
     # layout and the compiled program relayouts them on chip EVERY launch
@@ -235,10 +266,16 @@ def measure_tpu() -> dict:
     # and device_put-ing the frames in that format once makes every timed
     # launch start from the layout the convs want. Exact same program.
     # SKYEYE_NO_AUTO_LAYOUT=1 opts out; any failure falls back to default.
+    # ORDERING MATTERS (live-verified): a plain jnp.asarray of the same
+    # host shape BEFORE the formatted put installs a default-layout transfer
+    # program that later device_put(..., Format) calls silently reuse (JAX
+    # transfer cache is keyed without the layout) — so the default-layout
+    # `frames` placement must only happen on the fallback path.
     import os
 
     put_input = jnp.asarray  # H2D in whatever layout the pipeline expects
     compile_s = None
+    frames = None
     if not os.environ.get("SKYEYE_NO_AUTO_LAYOUT"):
         try:
             from jax.experimental.layout import Format, Layout
@@ -246,22 +283,23 @@ def measure_tpu() -> dict:
             t0 = time.time()
             compiled = (
                 jax.jit(body, in_shardings=Format(Layout.AUTO))
-                .lower(jax.ShapeDtypeStruct(frames[0].shape, jnp.uint8))
+                .lower(jax.ShapeDtypeStruct(packed_host[0].shape, jnp.uint8))
                 .compile()
             )
             fmt = compiled.input_formats[0][0]
-            opt_frames = [jax.device_put(p, fmt) for p in packed_host]
+            opt_frames = [_put_with_format(p, fmt) for p in packed_host]
             jax.block_until_ready(compiled(opt_frames[0]))
             compile_s = time.time() - t0
             pipeline, frames = compiled, opt_frames
-            put_input = lambda p: jax.device_put(p, fmt)  # noqa: E731
+            put_input = lambda p: _put_with_format(p, fmt)  # noqa: E731
             print(f"# input-layout AUTO engaged: "
                   f"{fmt.layout.major_to_minor}", file=sys.stderr)
         except Exception as e:
             print(f"# input-layout AUTO unavailable ({str(e)[:150]}); "
                   f"default layout", file=sys.stderr)
 
-    if compile_s is None:
+    if frames is None:
+        frames = [jnp.asarray(p) for p in packed_host]
         t0 = time.time()
         jax.block_until_ready(pipeline(frames[0]))
         compile_s = time.time() - t0
@@ -309,7 +347,7 @@ def measure_tpu() -> dict:
     burst_ips = None
     try:
         host_stack = np.stack([packed_host[i % 2] for i in range(BURST)])
-        stack = jnp.asarray(host_stack)
+        stack = None  # formatted put must precede any same-shape asarray
         if not os.environ.get("SKYEYE_NO_AUTO_LAYOUT"):
             try:
                 from jax.experimental.layout import Format, Layout
@@ -320,15 +358,17 @@ def measure_tpu() -> dict:
 
                 bc = (
                     jax.jit(burst_body, in_shardings=Format(Layout.AUTO))
-                    .lower(jax.ShapeDtypeStruct(stack.shape, jnp.uint8))
+                    .lower(jax.ShapeDtypeStruct(host_stack.shape, jnp.uint8))
                     .compile()
                 )
                 bfmt = bc.input_formats[0][0]
-                stack = jax.device_put(host_stack, bfmt)
+                stack = _put_with_format(host_stack, bfmt)
                 pipeline_burst = bc
             except Exception as e:
                 print(f"# burst AUTO layout unavailable ({str(e)[:120]})",
                       file=sys.stderr)
+        if stack is None:
+            stack = jnp.asarray(host_stack)
         t0 = time.time()
         jax.block_until_ready(pipeline_burst(stack))
         print(f"# burst compile+run: {time.time() - t0:.1f}s", file=sys.stderr)

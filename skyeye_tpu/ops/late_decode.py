@@ -117,15 +117,36 @@ def topk_candidates(
         stride = max(in_h / H, in_w / W)
         k = quotas[i]
 
-        obj_l = out[..., 4].astype(jnp.float32)            # (B, H, W, na) logits
-        cls_l = out[..., 5:].astype(jnp.float32)           # (B, H, W, na, nc)
-        cls_max = jnp.max(cls_l, axis=-1)                  # (B, H, W, na)
+        # Flat-read experiment (`SKYEYE_FLAT_DECODE=1`): read the flat
+        # (B, H, W, na*no) conv output via strided channel slices instead of
+        # materializing the (B, H, W, na, no) view, hoping to cancel a 0.34 ms
+        # relayout copy (profile op copy.146 in profiles/r3s6_1280). A/B on
+        # chip says the 5-D view WINS — the per-anchor strided minor-dim
+        # slices cost more full-plane reads than the one relayout copy they
+        # save — so the view path stays the default.
+        if os.environ.get("SKYEYE_FLAT_DECODE"):
+            flat = out.reshape(B, H, W, na * no)
+            obj_l = jnp.stack(                              # (B, H, W, na)
+                [flat[..., a * no + 4] for a in range(na)], axis=-1
+            ).astype(jnp.float32)
+            cls_max = jnp.stack(                            # (B, H, W, na)
+                [jnp.max(flat[..., a * no + 5 : (a + 1) * no], axis=-1)
+                 for a in range(na)], axis=-1
+            ).astype(jnp.float32)
+            cls_arg_fn = lambda: jnp.stack(                 # noqa: E731
+                [jnp.argmax(flat[..., a * no + 5 : (a + 1) * no], axis=-1)
+                 for a in range(na)], axis=-1)              # (B, H, W, na)
+        else:
+            obj_l = out[..., 4].astype(jnp.float32)         # (B, H, W, na)
+            cls_l = out[..., 5:].astype(jnp.float32)        # (B, H, W, na, nc)
+            cls_max = jnp.max(cls_l, axis=-1)               # (B, H, W, na)
+            cls_arg_fn = lambda: jnp.argmax(cls_l, axis=-1)  # noqa: E731
         score = jax.nn.sigmoid(obj_l) * jax.nn.sigmoid(cls_max)
         valid = (obj_l > conf_logit) & (score > conf_thres)
         if class_mask is not None:
             # reference classes= filter (metrics.py:424-427): drop candidates
             # whose single-label argmax class is not allowed (no re-assignment)
-            valid &= class_mask[jnp.argmax(cls_l, axis=-1)]
+            valid &= class_mask[cls_arg_fn()]
         score = jnp.where(valid, score, -1.0).reshape(B, H * W * na)
 
         top_scores, top_idx = topk(score, k)               # (B, k)
@@ -136,7 +157,15 @@ def topk_candidates(
         y = (pix // W).astype(jnp.float32)
 
         bidx = jnp.arange(B)[:, None]
-        rows = out[bidx, pix // W, pix % W, a].astype(jnp.float32)  # (B, k, no)
+        if os.environ.get("SKYEYE_FLAT_DECODE"):
+            # gather the full na*no row per candidate (tiny: k rows), then
+            # select the anchor slab — keeps the gather on the flat tensor
+            rows_all = flat[bidx, pix // W, pix % W]        # (B, k, na*no)
+            rows = jnp.take_along_axis(
+                rows_all.reshape(B, k, na, no), a[:, :, None, None], axis=2
+            )[:, :, 0].astype(jnp.float32)                  # (B, k, no)
+        else:
+            rows = out[bidx, pix // W, pix % W, a].astype(jnp.float32)
         sr = jax.nn.sigmoid(rows)
         xy = (sr[..., 0:2] * 2.0 - 0.5 + jnp.stack([x, y], axis=-1)) * stride
         wh = (sr[..., 2:4] * 2.0) ** 2 * (anchors[i][a] * stride)

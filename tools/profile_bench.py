@@ -69,6 +69,9 @@ def main():
     p.add_argument("--variant", default="s")
     p.add_argument("--trace-dir", type=Path, default=Path("profiles"))
     p.add_argument("--skip-trace", action="store_true")
+    p.add_argument("--auto-layout", action="store_true",
+                   help="AOT-compile with Layout.AUTO inputs (the shipped "
+                        "bench configuration) so the trace matches bench.py")
     args = p.parse_args()
 
     import jax
@@ -85,12 +88,26 @@ def main():
     )
 
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(s2d4_host(
-        rng.integers(0, 255, (args.batch, args.img, args.img, 3)).astype(np.uint8)))
+    packed = s2d4_host(
+        rng.integers(0, 255, (args.batch, args.img, args.img, 3)).astype(np.uint8))
+    frames = jnp.asarray(packed)
 
     # -- 1. compiled HLO scan ---------------------------------------------------
     t0 = time.time()
-    compiled = pipeline.lower(frames).compile()
+    if args.auto_layout:
+        from jax.experimental.layout import Format, Layout
+
+        compiled = (
+            jax.jit(_body, in_shardings=Format(Layout.AUTO))
+            .lower(jax.ShapeDtypeStruct(frames.shape, jnp.uint8))
+            .compile()
+        )
+        fmt = compiled.input_formats[0][0]
+        frames = jax.device_put(packed, fmt)
+        pipeline = compiled
+        print(f"AUTO input layout: {fmt.layout.major_to_minor}")
+    else:
+        compiled = pipeline.lower(frames).compile()
     print(f"compiled in {time.time()-t0:.0f}s")
     hlo = compiled.as_text()
     calls = []
