@@ -200,19 +200,29 @@ def _put_with_format(host_arr, fmt, _preps={}):
     from jax.experimental.layout import Format
 
     key = (host_arr.shape, str(host_arr.dtype), str(fmt.layout))
-    prep = _preps.get(key)
-    if prep is None:
-        prep = (
-            jax.jit(lambda x: x, out_shardings=Format(fmt.layout, fmt.sharding))
-            .lower(jax.ShapeDtypeStruct(host_arr.shape, host_arr.dtype))
-            .compile()
-        )
-        _preps[key] = prep
-    arr = prep(jnp.asarray(host_arr))
-    if arr.format.layout != fmt.layout:
-        raise RuntimeError(
-            f"relayout produced {arr.format.layout}, wanted {fmt.layout}")
-    return arr
+    preps = _preps.get(key)
+    if preps is None:
+        spec = jax.ShapeDtypeStruct(host_arr.shape, host_arr.dtype)
+        out = Format(fmt.layout, fmt.sharding)
+        # two DISTINCT executables for the same relayout: the failure mode is
+        # per-process-sticky for a given executable (the relay returns the
+        # input's layout metadata instead of the pinned output layout on every
+        # call), so a second, structurally different HLO is the useful retry
+        preps = [
+            jax.jit(lambda x: x, out_shardings=out).lower(spec).compile(),
+            jax.jit(lambda x: jax.lax.optimization_barrier(x),
+                    out_shardings=out).lower(spec).compile(),
+        ]
+        _preps[key] = preps
+    last = None
+    for prep in preps:
+        for _ in range(2):
+            arr = prep(jnp.asarray(host_arr))
+            if arr.format.layout == fmt.layout:
+                return arr
+            last = arr.format.layout
+            arr.delete()
+    raise RuntimeError(f"relayout produced {last}, wanted {fmt.layout}")
 
 
 def _probe_batched_nms_kernel():
@@ -392,6 +402,24 @@ def measure_tpu() -> dict:
     dt = (time.perf_counter() - t0) / K
     device_ips = BATCH / dt
 
+    # pipelined-burst throughput: the scan-of-BURST launch, several in flight.
+    # Same per-image work as the row above (the model still runs b16 per scan
+    # step); the scan packs 4 micro-batches into one launch so the per-launch
+    # relay gap (~1.6 ms at 16-in-flight single-batch launches) amortizes 4x.
+    burst_pipelined_ips = None
+    if burst_ips is not None:
+        try:
+            KB = 6
+            t0 = time.perf_counter()
+            bouts = [pipeline_burst(stack) for _ in range(KB)]
+            jax.block_until_ready(bouts)
+            bdt = (time.perf_counter() - t0) / KB
+            burst_pipelined_ips = BURST * BATCH / bdt
+            print(f"# pipelined burst: {bdt * 1000:.1f} ms/{BURST}-batch launch "
+                  f"({burst_pipelined_ips:.1f} img/s)", file=sys.stderr)
+        except Exception as e:
+            print(f"# pipelined burst failed: {e}", file=sys.stderr)
+
     # raw H2D bandwidth probe: in this environment the chip sits behind the axon
     # network relay, so host->device transfers can be ~20 MB/s instead of PCIe's
     # ~10 GB/s — in that regime streaming throughput measures the relay, not the
@@ -452,6 +480,7 @@ def measure_tpu() -> dict:
         "ips": device_ips if relay_bound else streaming_ips,
         "streaming_ips": streaming_ips,
         "device_only_ips": device_ips,
+        "burst_pipelined_ips": burst_pipelined_ips,
         "relay_bound": relay_bound,
         "h2d_mbps": round(h2d_mbps, 1),
         "latency_ips": BATCH / lat,
@@ -841,6 +870,11 @@ def main():
         "streaming_relay_bound": m["relay_bound"],
         "h2d_mbps": m["h2d_mbps"],
         "device_only_images_per_s": round(m["device_only_ips"], 2),
+        # scan-of-4 micro-batch launches, pipelined: same per-image work, the
+        # per-launch relay gap amortized 4x (reported separately, not headline)
+        "burst_pipelined_images_per_s": (
+            round(m["burst_pipelined_ips"], 2)
+            if m.get("burst_pipelined_ips") else None),
         "latency_images_per_s": round(m["latency_ips"], 2),
         "burst_latency_images_per_s": (
             round(m["burst_latency_ips"], 2) if m["burst_latency_ips"] else None),
