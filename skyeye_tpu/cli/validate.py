@@ -125,9 +125,15 @@ def validate(
 
     def forward_batch(images):
         """Per-(H, W) compiled forward+decode+NMS — rect eval draws from the
-        bucketed shape set, so the cache stays <= shape_buckets entries."""
+        bucketed shape set, so the cache stays <= shape_buckets entries.
+        Returns (det, n, raw, compiled_now): the first call per shape carries
+        the jit compile, which the speed summary must not average into the
+        per-image inference time (the reference's torch eval has no compile;
+        at 48 images / 6 batches a single 30 s XLA compile would otherwise
+        dominate the printed ms/image)."""
         hw = tuple(int(s) for s in images.shape[1:3])
-        if hw not in _fwd_cache:
+        compiled_now = hw not in _fwd_cache
+        if compiled_now:
 
             @jax.jit
             def _run(images):
@@ -148,7 +154,7 @@ def validate(
                 return det, n, raw
 
             _fwd_cache[hw] = _run
-        return _fwd_cache[hw](images)
+        return _fwd_cache[hw](images) + (compiled_now,)
 
     stats = []
     confusion = ConfusionMatrix(nc=nc) if plots else None
@@ -156,8 +162,9 @@ def validate(
     gt_jdict = []  # COCO-format GT mirror for the in-process COCO eval
     loss_sum = np.zeros(3)
     seen = 0
-    t_pre = t_inf = 0.0
+    t_pre = t_inf = t_compile = 0.0
     n_batches = 0
+    n_timed_imgs = 0
 
     LOGGER.info("%22s%11s%11s%11s%11s%11s%11s",
                 "Class", "Images", "Labels", "P", "R", "mAP@.5", "mAP@.5:.95")
@@ -165,12 +172,16 @@ def validate(
         t0 = time.perf_counter()
         images = jnp.asarray(batch["images"])
         t1 = time.perf_counter()
-        det, n, raw = forward_batch(images)
+        det, n, raw, compiled_now = forward_batch(images)
         det = np.asarray(det)
         n = np.asarray(n)
         t2 = time.perf_counter()
         t_pre += t1 - t0
-        t_inf += t2 - t1
+        if compiled_now:
+            t_compile += t2 - t1
+        else:
+            t_inf += t2 - t1
+            n_timed_imgs += int(batch.get("n_valid", images.shape[0]))
         n_batches += 1
 
         if compute_loss is not None and raw is not None:
@@ -257,9 +268,14 @@ def validate(
                         cname, seen, int(nt[c]), p[i], r[i], ap50[i], ap_all[i])
 
     pre_ms = t_pre / max(seen, 1) * 1000
-    inf_ms = t_inf / max(seen, 1) * 1000
+    # per-image inference averages only compile-free batches; shapes that were
+    # compiled during the run report their one-off compile cost separately
+    inf_ms = t_inf / max(n_timed_imgs, 1) * 1000 if n_timed_imgs else (
+        t_compile / max(seen, 1) * 1000)
     LOGGER.info("Speed: %.1fms pre-process, %.1fms inference+NMS per image at shape "
-                "(%d, %d, %d, 3)", pre_ms, inf_ms, batch_size, img_size, img_size)
+                "(%d, %d, %d, 3) (+ %.1fs one-off XLA compile over %d shapes)",
+                pre_ms, inf_ms, batch_size, img_size, img_size,
+                t_compile, len(_fwd_cache))
 
     if confusion is not None:
         confusion.plot(save_dir=save_dir, names=names)

@@ -49,6 +49,13 @@ def main():
                    help="'enhanced' = EnhancedSkyEyeDetector parity: our enhanced "
                         "model in ref_exact cross-attention mode vs the repaired "
                         "reference (repairs R1-R3, tools/ref_harness.py)")
+    p.add_argument("--eval-img-size", type=int, default=None,
+                   help="evaluate BOTH stacks at this geometry instead of the "
+                        "training --img-size (reference eval protocol is 1280, "
+                        "README.md:69). Uses a separate val split generated at "
+                        "this canvas size: synth_aerial object pixel sizes are "
+                        "absolute, so a bigger canvas keeps the trained object "
+                        "scale while exercising the flagship input geometry.")
     args = p.parse_args()
 
     if args.cpu:
@@ -167,9 +174,25 @@ def main():
     diff = float(np.abs(np.asarray(dec_j) - dec_t.numpy()).max())
     print(f"decoded-output max|Δ| on one val batch: {diff:.2e}")
 
+    # -- eval geometry: optionally decoupled from the training size ------------
+    eval_img = args.eval_img_size or args.img_size
+    eval_yaml, eval_loader = data_yaml, loader
+    if eval_img != args.img_size:
+        eval_yaml = workdir / "data_eval" / "data.yaml"
+        if not eval_yaml.exists():
+            print(f"generating {eval_img}px eval val split under "
+                  f"{workdir/'data_eval'} ...")
+            make_dataset(workdir / "data_eval", n_train=2, n_val=args.n_val,
+                         square=True, img_size=eval_img, seed=31)
+        eval_loader, _ = create_dataloader(
+            str(workdir / "data_eval" / "images" / "val"), img_size=eval_img,
+            batch_size=args.batch_size, stride=32, augment=False, rect=False,
+            shuffle=False, workers=4, max_labels=160,
+        )
+
     # -- torch side: reference validate protocol -------------------------------
     t0 = time.time()
-    mp_t, mr_t, map50_t, map_t = ref_validate(ref_model, loader, nc=cfg.nc)
+    mp_t, mr_t, map50_t, map_t = ref_validate(ref_model, eval_loader, nc=cfg.nc)
     t_torch = time.time() - t0
     print(f"reference(torch,repaired): P {mp_t:.4f} R {mr_t:.4f} "
           f"mAP50 {map50_t:.4f} mAP50-95 {map_t:.4f}  ({t_torch:.0f}s)")
@@ -178,8 +201,8 @@ def main():
     from skyeye_tpu.cli.validate import validate
 
     results, _, _ = validate(
-        data=str(data_yaml), weights=str(weights),
-        batch_size=args.batch_size, img_size=args.img_size,
+        data=str(eval_yaml), weights=str(weights),
+        batch_size=args.batch_size, img_size=eval_img,
         project=str(workdir), name="val_jax", exist_ok=True, plots=False,
     )
     mp_j, mr_j, map50_j, map_j = results[:4]
@@ -199,7 +222,8 @@ def main():
         "delta_map50_pt": round(float(d50) * 100, 3),
         "delta_map5095_pt": round(float(d95) * 100, 3),
         "decoded_max_abs_diff": diff,
-        "img_size": args.img_size, "n_val": args.n_val, "epochs": args.epochs,
+        "img_size": args.img_size, "eval_img_size": eval_img,
+        "n_val": args.n_val, "epochs": args.epochs,
         "variant": args.variant, "verdict": verdict,
     }, indent=1))
     print(f"wrote {workdir/'parity.json'}")
