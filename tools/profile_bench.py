@@ -62,6 +62,84 @@ def summarize_hlo_stats(xplane_paths, n_launches) -> dict:
     }
 
 
+def _profile_train(args):
+    """Trace the train step (bench --config train640 protocol) and summarize
+    device time by HLO category — the serving pipeline got all the profile
+    attention in rounds 1-3 while config #5 (405 img/s @640 b16) was never
+    profiled. Writes the same artifacts as the serving path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from skyeye_tpu.config import DEFAULT_HYP, ModelConfig
+    from skyeye_tpu.losses import ComputeLoss
+    from skyeye_tpu.models import SkyEyeDetectorModule
+    from skyeye_tpu.train import (
+        build_optimizer_runtime, create_train_state, host_schedule,
+        make_train_step,
+    )
+
+    cfg = ModelConfig.from_variant(args.variant, nc=10)
+    loss_fn = ComputeLoss(jnp.asarray(cfg.anchors), cfg.nc)
+    sched = host_schedule(DEFAULT_HYP, epochs=100, steps_per_epoch=100)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(
+        0, 1, (args.batch, args.img, args.img, 3)).astype(np.float32))
+    targets = np.zeros((args.batch, 32, 6), np.float32)
+    mask = np.zeros((args.batch, 32), bool)
+    for b in range(args.batch):
+        for t in range(8):
+            targets[b, t] = [0, rng.integers(0, 10), rng.uniform(0.2, 0.8),
+                             rng.uniform(0.2, 0.8), rng.uniform(0.05, 0.2),
+                             rng.uniform(0.05, 0.2)]
+            mask[b, t] = True
+    batch_d = {
+        "images": images, "targets": jnp.asarray(targets),
+        "mask": jnp.asarray(mask),
+        "n_valid": jnp.asarray(args.batch, jnp.int32),
+        "opt_hyperparams": {k: jnp.float32(v) for k, v in sched(0).items()},
+    }
+    module = SkyEyeDetectorModule(config=cfg, dtype=jnp.bfloat16)
+    variables = module.init(jax.random.PRNGKey(0),
+                            jnp.zeros((2, args.img, args.img, 3)), train=True)
+    tx = build_optimizer_runtime(DEFAULT_HYP, variables["params"],
+                                 batch_size=args.batch)
+    state = create_train_state(variables, tx)
+    step = jax.jit(make_train_step(module, loss_fn, tx))
+
+    t0 = time.time()
+    state, _ = step(state, batch_d)
+    jax.block_until_ready(state.params)
+    print(f"compiled+first step in {time.time()-t0:.0f}s")
+
+    args.trace_dir.mkdir(parents=True, exist_ok=True)
+    n_launches = 3
+    with jax.profiler.trace(str(args.trace_dir)):
+        for _ in range(n_launches):
+            state, metrics = step(state, batch_d)
+        jax.block_until_ready(state.params)
+    produced = sorted(args.trace_dir.rglob("*.xplane.pb"),
+                      key=lambda f: f.stat().st_mtime)
+    print(f"trace written: {[str(f) for f in produced][-2:]}")
+    evidence = {"mode": "train", "img": args.img, "batch": args.batch,
+                "variant": args.variant,
+                "trace_files": [str(f) for f in produced][-4:]}
+    try:
+        summary = summarize_hlo_stats(produced[-1:], n_launches)
+        evidence["hlo_stats"] = summary
+        sp = args.trace_dir / "hlo_stats_summary.json"
+        sp.write_text(json.dumps(summary, indent=1))
+        print(f"device ms/step: {summary['total_device_ms_per_launch']}")
+        for k, v in summary["ms_by_category"].items():
+            print(f"  {v:8.3f} ms  {k}")
+        print("wrote", sp)
+    except Exception as e:
+        print(f"hlo_stats summary failed: {e}", file=sys.stderr)
+    out_path = args.trace_dir / "train_profile.json"
+    out_path.write_text(json.dumps(evidence, indent=1))
+    print("wrote", out_path)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--img", type=int, default=640)
@@ -72,6 +150,10 @@ def main():
     p.add_argument("--auto-layout", action="store_true",
                    help="AOT-compile with Layout.AUTO inputs (the shipped "
                         "bench configuration) so the trace matches bench.py")
+    p.add_argument("--train", action="store_true",
+                   help="profile the TRAIN step (fwd+bwd+optimizer+EMA, the "
+                        "bench --config train640 protocol, bf16 activations) "
+                        "instead of the serving pipeline")
     args = p.parse_args()
 
     import jax
@@ -82,6 +164,10 @@ def main():
 
     import bench
     from skyeye_tpu.ops.packed_stem import s2d4_host
+
+    if args.train:
+        _profile_train(args)
+        return
 
     pipeline, _burst, module, variables, _body = bench._build_pipeline(
         args.variant, args.img, 10, args.batch
