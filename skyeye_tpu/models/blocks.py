@@ -270,15 +270,31 @@ class SPPBlock(nn.Module):
         in_ch = x.shape[-1]
         hidden = in_ch // 2
         x = ConvBlock(hidden, 1, 1, dtype=self.dtype, name="cv1")(x, train)
-        if _spatial_mesh_active():
-            # Row-sharded path: shift-max pools (backward = select chain) keep
-            # P5 sharded — select-and-scatter (nn.max_pool's backward) would
-            # need the _unshard_spatial gather to dodge its GSPMD grad bug.
-            pools = [x] + [
-                _maxpool_same_shiftmax(x, k) for k in self.kernel_sizes
-            ]
+        if _spatial_mesh_active() or train:
+            # Shift-max pools, built INCREMENTALLY (SPPF-style: stride-1 SAME
+            # window maxima compose, max_{k2}(max_{k1}(x)) == max_{k1+k2-1}(x),
+            # so (5, 9, 13) costs three 5-window chains instead of 5+9+13).
+            #   * sharded: backward = select chain keeps P5 row-sharded
+            #     (select-and-scatter, nn.max_pool's grad, hits a GSPMD bug
+            #     AND would force the _unshard_spatial gather)
+            #   * train (any mesh): select-and-scatter was measured at
+            #     5.04 ms of the 37 ms train step @640 b16 on v5e — 13.6% of
+            #     the whole step in the pool backward
+            #     (profiles/r3s8_train640) — while the select-chain backward
+            #     is plain elementwise traffic.
+            pools = [x]
+            prev_k = 1
+            for k in self.kernel_sizes:
+                delta = k - prev_k + 1  # window growth this stage
+                if delta >= 2 and prev_k > 1:
+                    pools.append(_maxpool_same_shiftmax(pools[-1], delta))
+                else:  # first pool, or non-increasing kernel list: from x
+                    pools.append(_maxpool_same_shiftmax(x, k))
+                prev_k = k
             y = jnp.concatenate(pools, axis=-1)
         else:
+            # Pure inference: reduce_window forward compiles tighter than the
+            # shift chain and has no backward to worry about.
             pools = [x]
             for k in self.kernel_sizes:
                 p = k // 2
