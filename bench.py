@@ -682,9 +682,12 @@ def measure_train_640(batch: int = 16, steps: int = 24) -> dict:
     loss_fn = ComputeLoss(jnp.asarray(cfg.anchors), cfg.nc)
     sched = host_schedule(DEFAULT_HYP, epochs=100, steps_per_epoch=100)
 
+    from skyeye_tpu.ops.packed_stem import s2d4_host
+
     rng = np.random.default_rng(0)
-    images = jnp.asarray(
-        rng.uniform(0, 1, (batch, 640, 640, 3)).astype(np.float32))
+    images_np = rng.uniform(0, 1, (batch, 640, 640, 3)).astype(np.float32)
+    images = jnp.asarray(images_np)
+    packed_images = jnp.asarray(s2d4_host(images_np))
     targets = np.zeros((batch, 32, 6), np.float32)
     mask = np.zeros((batch, 32), bool)
     for b in range(batch):
@@ -699,15 +702,20 @@ def measure_train_640(batch: int = 16, steps: int = 24) -> dict:
         "opt_hyperparams": {k: jnp.float32(v) for k, v in sched(0).items()},
     }
 
-    def run_one(dtype):
-        module = SkyEyeDetectorModule(config=cfg, dtype=dtype)
+    def run_one(dtype, packed=True):
+        # packed=True is the cli/train default: stem+down1 in the s2d4 input
+        # domain with canonical params (ops/packed_stem_train.py), the loader
+        # packing frames host-side — numerically equivalent, equivalence-tested
+        module = SkyEyeDetectorModule(config=cfg, dtype=dtype,
+                                      packed_stem_train=packed)
         variables = module.init(jax.random.PRNGKey(0),
                                 jnp.zeros((2, 640, 640, 3)), train=True)
         tx = build_optimizer_runtime(DEFAULT_HYP, variables["params"],
                                      batch_size=batch)
         state = create_train_state(variables, tx)
         step = jax.jit(make_train_step(module, loss_fn, tx))
-        batch_d = dict(base_batch, images=images)
+        batch_d = dict(base_batch,
+                       images=packed_images if packed else images)
         t0 = time.time()
         state, _ = step(state, batch_d)
         jax.block_until_ready(state.params)
@@ -722,19 +730,26 @@ def measure_train_640(batch: int = 16, steps: int = 24) -> dict:
         return batch / dt, dt * 1000, compile_s
 
     ips_bf16, ms_bf16, comp_bf16 = run_one(jnp.bfloat16)
-    print(f"# bf16 train step: {ips_bf16:.1f} img/s ({ms_bf16:.1f} ms)",
+    print(f"# bf16 packed-stem train step: {ips_bf16:.1f} img/s ({ms_bf16:.1f} ms)",
+          file=sys.stderr)
+    ips_canon, ms_canon, comp_canon = run_one(jnp.bfloat16, packed=False)
+    print(f"# bf16 canonical train step: {ips_canon:.1f} img/s ({ms_canon:.1f} ms)",
           file=sys.stderr)
     ips_f32, ms_f32, comp_f32 = run_one(jnp.float32)
     print(f"# f32 train step: {ips_f32:.1f} img/s ({ms_f32:.1f} ms)",
           file=sys.stderr)
     return {
         "metric": f"skyeye_{VARIANT} train step @640px b{batch} "
-                  "(fwd+bwd+optimizer+EMA, one launch, bf16 activations)",
+                  "(fwd+bwd+optimizer+EMA, one launch, bf16 activations, "
+                  "packed stem — the cli/train default)",
         "value": round(ips_bf16, 1), "unit": "images/sec",
         "ms_per_step": round(ms_bf16, 1),
+        "canonical_images_per_s": round(ips_canon, 1),
+        "canonical_ms_per_step": round(ms_canon, 1),
         "f32_images_per_s": round(ips_f32, 1),
         "f32_ms_per_step": round(ms_f32, 1),
-        "compile_s": round(comp_bf16 + comp_f32, 1), "cached": False,
+        "compile_s": round(comp_bf16 + comp_canon + comp_f32, 1),
+        "cached": False,
     }
 
 

@@ -49,6 +49,15 @@ class CSPDarknet(nn.Module):
     # first two convs in the s2d domain at full 128-lane utilization
     # (ops/packed_stem.py; exact weight remap via pack_stem_variables).
     packed_stem: bool = False
+    # TRAIN-path packed stem: run the stem + down1 convs in the s2d4 packed
+    # domain with CANONICAL params (ops/packed_stem_train.py — kernel remap
+    # applied in-forward, differentiably; stem BN statistics phase-pooled,
+    # exactly canonical). Pure layout choice: checkpoints/trees are unchanged
+    # and the step is numerically equivalent. Measured motivation: the raw
+    # 6x6/2 stem conv on 3/128 lanes cost ~11% of the train step @640 b16
+    # (profiles/r3s8b_train640). Accepts raw (B,H,W,3) input (device pack) or
+    # the s2d4-packed (B,H/4,W/4,48) frame.
+    packed_stem_train: bool = False
     # Serving-path fused CSP: the stage-1 CSP runs as ONE Pallas kernel (all
     # intermediates VMEM-resident; the canonical per-conv schedule is HBM-bound
     # at these shapes — ops/pallas/csp_kernel.py; measured ~6% faster than XLA
@@ -105,6 +114,14 @@ class CSPDarknet(nn.Module):
                 if use_stage else (lambda f: f))
 
         def stem_down1(mdl, x, train):
+            if mdl.packed_stem_train:
+                from ..ops.packed_stem_train import (
+                    PackedTrainDown1, PackedTrainFocus,
+                )
+
+                x = PackedTrainFocus(c1, dtype=mdl.dtype, name="stem")(x, train)
+                return PackedTrainDown1(c2, dtype=mdl.dtype,
+                                        name="down1")(x, train)
             x = FocusBlock(c1, kernel_size=3, dtype=mdl.dtype,
                            name="stem")(x, train)
             return ConvBlock(c2, 3, stride=2, dtype=mdl.dtype,

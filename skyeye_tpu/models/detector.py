@@ -36,6 +36,11 @@ class SkyEyeDetectorModule(nn.Module):
     # serving-path s2d-packed first stage (ops/packed_stem.py); use with variables
     # transformed by pack_stem_variables — numerically exact, ~2x faster stage 1
     packed_stem: bool = False
+    # TRAIN-path packed stem: stem + down1 in the s2d4 domain with CANONICAL
+    # params (in-forward differentiable remap + phase-pooled BN stats,
+    # ops/packed_stem_train.py) — numerically equivalent, same tree; kills the
+    # 3/128-lane stem convs that cost ~11% of the train step (r3s8b profile)
+    packed_stem_train: bool = False
     # serving-path fused CSP stages 1-2 as Pallas kernels (ops/fused_csp.py);
     # use with variables transformed by fuse_csp_variables (after fuse_conv_bn)
     fused_csp: bool = False
@@ -68,6 +73,7 @@ class SkyEyeDetectorModule(nn.Module):
             width_multiple=cfg.width_multiple,
             dtype=self.dtype,
             packed_stem=self.packed_stem,
+            packed_stem_train=self.packed_stem_train,
             fused_csp=self.fused_csp,
             int8_early=self.int8_early,
             packed_stage1=self.packed_stage1,
@@ -128,13 +134,15 @@ def create_detector(
     img_size: int = 64,
     ref_exact_cross_attn: Optional[bool] = None,
     remat: Any = False,
+    packed_stem_train: bool = False,
 ) -> Tuple[SkyEyeDetectorModule, dict]:
     """Build module + initialized variables (params, batch_stats).
 
     Mirrors reference SkyEyeDetector.__init__ overrides (detector.py:260-265):
     `num_classes` / `anchors` args win over the config file values.
     `ref_exact_cross_attn` is recorded on the config so checkpoints rebuild the
-    same architecture.
+    same architecture. `packed_stem_train` is a pure layout choice (identical
+    param tree — ops/packed_stem_train.py), so it is NOT recorded on the config.
     """
     config = load_model_config(cfg)
     if num_classes is not None and num_classes != config.nc:
@@ -144,7 +152,8 @@ def create_detector(
     if ref_exact_cross_attn is not None:
         config = _replace(config, ref_exact_cross_attn=ref_exact_cross_attn)
 
-    module = SkyEyeDetectorModule(config=config, dtype=dtype, remat=remat)
+    module = SkyEyeDetectorModule(config=config, dtype=dtype, remat=remat,
+                                  packed_stem_train=packed_stem_train)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, img_size, img_size, config.in_channels), dtype)
     variables = module.init(rng, dummy, train=False)
