@@ -32,8 +32,12 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 
-def summarize_hlo_stats(xplane_paths, n_launches) -> dict:
-    """xplane trace -> {category: ms/launch} + top ops, via xprof hlo_stats."""
+def summarize_hlo_stats(xplane_paths, n_launches, full_out: Path = None) -> dict:
+    """xplane trace -> {category: ms/launch} + top ops, via xprof hlo_stats.
+
+    With `full_out`, ALL per-op rows are additionally dumped as JSON — the
+    input tools/roofline_attrib.py joins against the optimized HLO text to
+    compute per-op roofline floors (VERDICT r3 missing #1)."""
     from xprof.convert import raw_to_tool_data as r
 
     data, _ = r.xspace_to_tool_data([str(p) for p in xplane_paths],
@@ -54,12 +58,31 @@ def summarize_hlo_stats(xplane_paths, n_launches) -> dict:
                     "occurrences": int(c[i_occ])})
     ops.sort(key=lambda o: -o["self_ms_per_launch"])
     total = sum(by_cat.values())
+    if full_out is not None:
+        full_out.write_text(json.dumps(
+            {"n_launches": n_launches, "ops": ops}, indent=1))
+        print(f"wrote {full_out} ({len(ops)} ops)")
     return {
         "total_device_ms_per_launch": round(total, 3),
         "ms_by_category": {k: round(v, 3) for k, v in
                            sorted(by_cat.items(), key=lambda kv: -kv[1])},
         "top_ops": ops[:25],
     }
+
+
+def dump_hlo(compiled, trace_dir: Path) -> None:
+    """Save the optimized HLO text (gz) for offline per-op attribution."""
+    import gzip
+
+    try:
+        txt = compiled.as_text()
+        p = trace_dir / "optimized_hlo.txt.gz"
+        trace_dir.mkdir(parents=True, exist_ok=True)
+        with gzip.open(p, "wt") as f:
+            f.write(txt)
+        print(f"wrote {p} ({len(txt)//1000} kB text)")
+    except Exception as e:
+        print(f"HLO dump failed: {e}", file=sys.stderr)
 
 
 def _profile_train(args):
@@ -83,8 +106,16 @@ def _profile_train(args):
     loss_fn = ComputeLoss(jnp.asarray(cfg.anchors), cfg.nc)
     sched = host_schedule(DEFAULT_HYP, epochs=100, steps_per_epoch=100)
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.uniform(
-        0, 1, (args.batch, args.img, args.img, 3)).astype(np.float32))
+    images_np = rng.uniform(
+        0, 1, (args.batch, args.img, args.img, 3)).astype(np.float32)
+    if args.canonical_stem:
+        images = jnp.asarray(images_np)
+    else:
+        # bench train640 / cli/train default: s2d4 packed-stem training with
+        # the loader packing frames host-side (ops/packed_stem_train.py)
+        from skyeye_tpu.ops.packed_stem import s2d4_host
+
+        images = jnp.asarray(s2d4_host(images_np))
     targets = np.zeros((args.batch, 32, 6), np.float32)
     mask = np.zeros((args.batch, 32), bool)
     for b in range(args.batch):
@@ -99,7 +130,8 @@ def _profile_train(args):
         "n_valid": jnp.asarray(args.batch, jnp.int32),
         "opt_hyperparams": {k: jnp.float32(v) for k, v in sched(0).items()},
     }
-    module = SkyEyeDetectorModule(config=cfg, dtype=jnp.bfloat16)
+    module = SkyEyeDetectorModule(config=cfg, dtype=jnp.bfloat16,
+                                  packed_stem_train=not args.canonical_stem)
     variables = module.init(jax.random.PRNGKey(0),
                             jnp.zeros((2, args.img, args.img, 3)), train=True)
     tx = build_optimizer_runtime(DEFAULT_HYP, variables["params"],
@@ -108,6 +140,9 @@ def _profile_train(args):
     step = jax.jit(make_train_step(module, loss_fn, tx))
 
     t0 = time.time()
+    compiled_step = step.lower(state, batch_d).compile()
+    dump_hlo(compiled_step, args.trace_dir)
+    step = compiled_step
     state, _ = step(state, batch_d)
     jax.block_until_ready(state.params)
     print(f"compiled+first step in {time.time()-t0:.0f}s")
@@ -125,7 +160,9 @@ def _profile_train(args):
                 "variant": args.variant,
                 "trace_files": [str(f) for f in produced][-4:]}
     try:
-        summary = summarize_hlo_stats(produced[-1:], n_launches)
+        summary = summarize_hlo_stats(
+            produced[-1:], n_launches,
+            full_out=args.trace_dir / "hlo_stats_full.json")
         evidence["hlo_stats"] = summary
         sp = args.trace_dir / "hlo_stats_summary.json"
         sp.write_text(json.dumps(summary, indent=1))
@@ -150,6 +187,10 @@ def main():
     p.add_argument("--auto-layout", action="store_true",
                    help="AOT-compile with Layout.AUTO inputs (the shipped "
                         "bench configuration) so the trace matches bench.py")
+    p.add_argument("--canonical-stem", action="store_true",
+                   help="with --train: profile the canonical (unpacked) stem "
+                        "instead of the packed_stem_train default that bench "
+                        "config #5 / cli/train actually run")
     p.add_argument("--train", action="store_true",
                    help="profile the TRAIN step (fwd+bwd+optimizer+EMA, the "
                         "bench --config train640 protocol, bf16 activations) "
@@ -195,6 +236,7 @@ def main():
     else:
         compiled = pipeline.lower(frames).compile()
     print(f"compiled in {time.time()-t0:.0f}s")
+    dump_hlo(compiled, args.trace_dir)
     hlo = compiled.as_text()
     calls = []
     for m in re.finditer(r'custom-call[^\n]*custom_call_target="([^"]+)"[^\n]*', hlo):
@@ -235,7 +277,9 @@ def main():
         print(f"trace written: {[str(f) for f in produced][-2:]}")
         evidence["trace_files"] = [str(f) for f in produced][-4:]
         try:
-            summary = summarize_hlo_stats(produced[-1:], n_launches)
+            summary = summarize_hlo_stats(
+                produced[-1:], n_launches,
+                full_out=args.trace_dir / "hlo_stats_full.json")
             evidence["hlo_stats"] = summary
             sp = args.trace_dir / "hlo_stats_summary.json"
             sp.write_text(json.dumps(summary, indent=1))
