@@ -80,6 +80,9 @@ class CSPDarknet(nn.Module):
     # reading the SAME input) run as one conv — one HBM read of the input
     # instead of two (exact weight remap via ops/merged_csp.py).
     merged_csp: bool = False
+    # Serving-path W-pair packed bottleneck chains for narrow CSPs (hidden <
+    # 128 lanes): see CSPBlock.packed_m / ops.packed_csp.pack_csp_m_variables.
+    packed_m_csp: bool = False
     # Training memory lever: rematerialize activations in the backward pass
     # (jax.checkpoint) instead of storing them. False = off; True/"block" =
     # checkpoint each CSP/SPP block (drops intra-block intermediates only,
@@ -129,7 +132,8 @@ class CSPDarknet(nn.Module):
 
         def csp1_down2(mdl, x, train):
             x = CSP(c2, scaled_depth(3, d), dtype=mdl.dtype,
-                    merged_cv12=mdl.merged_csp, name="csp1")(x, train)
+                    merged_cv12=mdl.merged_csp, packed_m=mdl.packed_m_csp,
+                    name="csp1")(x, train)
             return ConvBlock(c3, 3, stride=2, dtype=mdl.dtype,
                              name="down2")(x, train)
 
@@ -138,20 +142,23 @@ class CSPDarknet(nn.Module):
 
         def stage2(mdl, x, train):
             return CSP(c3, scaled_depth(9, d), dtype=mdl.dtype,
-                       merged_cv12=mdl.merged_csp, name="csp2")(x, train)
+                       merged_cv12=mdl.merged_csp, packed_m=mdl.packed_m_csp,
+                       name="csp2")(x, train)
 
         def stage3(mdl, x, train):
             x = ConvBlock(c4, 3, stride=2, dtype=mdl.dtype,
                           name="down3")(x, train)
             x = CSP(c4, scaled_depth(9, d), dtype=mdl.dtype,
-                    merged_cv12=mdl.merged_csp, name="csp3")(x, train)
+                    merged_cv12=mdl.merged_csp, packed_m=mdl.packed_m_csp,
+                    name="csp3")(x, train)
             return CBAM(dtype=mdl.dtype, name="cbam3")(x)
 
         def stage4(mdl, x, train):
             x = ConvBlock(c5, 3, stride=2, dtype=mdl.dtype,
                           name="down4")(x, train)
             x = CSP(c5, scaled_depth(3, d), dtype=mdl.dtype,
-                    merged_cv12=mdl.merged_csp, name="csp4")(x, train)
+                    merged_cv12=mdl.merged_csp, packed_m=mdl.packed_m_csp,
+                    name="csp4")(x, train)
             return SPP(c5, dtype=mdl.dtype, name="spp4")(x, train)
 
         if use_stage:
@@ -171,12 +178,26 @@ class CSPDarknet(nn.Module):
         else:
             # Stage 1 (/4): Focus -> conv/2 -> CSP(3d)
             if self.packed_stem:
+                import os as _os
+
+                import jax as _jax
+
                 from ..ops.packed_stem import s2d4_device
 
                 if x.shape[-1] == 3:  # raw image: pack on device
                     x = s2d4_device(x)
                 x = ConvBlock(4 * c1, 3, stride=1, dtype=self.dtype,
                               name="stem")(x, train)
+                if not _os.environ.get("SKYEYE_NO_STEM_BARRIER"):
+                    # Round-4 per-op attribution (profiles/r4s1_1280): XLA
+                    # fuses the stem conv INTO down1's fusion and recomputes
+                    # it per output tile — fusion.9 measures 3.81 ms vs a
+                    # 1.69 ms floor. The barrier materializes the stem output
+                    # once (~0.5 ms HBM) instead of recomputing the stem MXU
+                    # work: measured +1.5% @1280 b16 (758.5 -> 770.2 img/s,
+                    # tools/ab_serving.py 2026-08-19). SKYEYE_NO_STEM_BARRIER
+                    # opts out.
+                    x = _jax.lax.optimization_barrier(x)
                 if self.packed_stage1:
                     # packed-in/packed-out down1 (pack_down1_p2p_kernel): emits
                     # the 2x2-s2d layout PackedStage1 consumes — no transpose
