@@ -50,13 +50,16 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         k = self.kernel_size
-        p = k // 2
+        ks = tuple(k) if isinstance(k, (tuple, list)) else (k, k)
+        st = (tuple(self.stride) if isinstance(self.stride, (tuple, list))
+              else (self.stride, self.stride))
         x = _spatial_guard(x)
         x = nn.Conv(
             self.out_channels,
-            (k, k),
-            strides=(self.stride, self.stride),
-            padding=self.padding if self.padding is not None else ((p, p), (p, p)),
+            ks,
+            strides=st,
+            padding=(self.padding if self.padding is not None
+                     else tuple((d // 2, d // 2) for d in ks)),
             feature_group_count=self.groups,
             use_bias=False,
             dtype=self.dtype,
@@ -139,10 +142,51 @@ class CSPBlock(nn.Module):
     expansion: float = 0.5
     dtype: Any = jnp.float32
     merged_cv12: bool = False
+    # Serving-path W-paired block residency: run the whole CSP in a
+    # width-paired layout (B, H, W/2, 2*ch). Motivation (round-4 per-op
+    # attribution, profiles/r4s1_1280): at hidden=64 the chain's 3x3 convs
+    # occupy 64 of the 128 MXU/VPU lanes and measure ~26% of their roofline
+    # floor (640 us vs 170 @1280 b16, six instances across csp2+fpn3); the
+    # W-pair layout doubles lanes to 128 at only 2x nominal MXU FLOPs (the
+    # (2,2)-s2d pack of ops/packed_csp.py would cost 4x — a wash at 64ch).
+    # The split conv(s) emit the paired layout, cv3 consumes it (see __call__
+    # body). Exact weight remap via ops.packed_csp.pack_csp_m_variables.
+    packed_m: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = int(self.out_channels * self.expansion)
+        # same predicate as ops.packed_csp.pack_csp_m_variables: only narrow
+        # chains benefit (wider ones already fill the 128 lanes), and W-pairing
+        # needs an even map width
+        packed_m = self.packed_m and hidden < 128 and x.shape[2] % 2 == 0
+        if packed_m:
+            # The WHOLE block lives in the W-paired domain: the split conv(s)
+            # EMIT the paired layout directly (a 1x2/stride-(1,2) conv — exact
+            # remap, ops/packed_csp.py), the chain runs at 2*hidden lanes, and
+            # cv3 CONSUMES the paired layout, emitting both pixels' outputs as
+            # channel pairs that reshape back to canonical without any lane
+            # padding (a bitcast). v1 of this idea reshaped at the chain
+            # boundary instead — the lane-padded relayouts cost 1.9 ms @1280
+            # b16 and erased the win (profiles/r4s2_packedm).
+            _vp = ((0, 0), (0, 0))  # the 1x2/s2 pair-emit conv pads nothing
+            if self.merged_cv12:
+                y = ConvBlock(4 * hidden, (1, 2), (1, 2), padding=_vp,
+                              dtype=self.dtype, name="cv12")(x, train)
+                y1, y2 = y[..., : 2 * hidden], y[..., 2 * hidden :]
+            else:
+                y1 = ConvBlock(2 * hidden, (1, 2), (1, 2), padding=_vp,
+                               dtype=self.dtype, name="cv1")(x, train)
+                y2 = ConvBlock(2 * hidden, (1, 2), (1, 2), padding=_vp,
+                               dtype=self.dtype, name="cv2")(x, train)
+            for i in range(self.num_blocks):
+                y1 = Bottleneck(2 * hidden, self.shortcut, 1.0,
+                                dtype=self.dtype, name=f"m{i}")(y1, train)
+            y = jnp.concatenate([y1, y2], axis=-1)
+            y = ConvBlock(2 * self.out_channels, 1, 1, dtype=self.dtype,
+                          name="cv3")(y, train)
+            B, H, Wp, C2 = y.shape
+            return y.reshape(B, H, Wp * 2, C2 // 2)
         if self.merged_cv12:
             y12 = ConvBlock(2 * hidden, 1, 1, dtype=self.dtype, name="cv12")(x, train)
             y1, y2 = y12[..., :hidden], y12[..., hidden:]
@@ -270,7 +314,13 @@ class SPPBlock(nn.Module):
         in_ch = x.shape[-1]
         hidden = in_ch // 2
         x = ConvBlock(hidden, 1, 1, dtype=self.dtype, name="cv1")(x, train)
-        if _spatial_mesh_active() or train:
+        # SKYEYE_SPP_SHIFTMAX extends the shift-max chain to inference: the
+        # round-4 per-op attribution (profiles/r4s1_1280/roofline_attrib.json)
+        # measured the two reduce_window fusions at 369 us vs a 64 us HBM floor
+        # @1280 b16 — the chain is plain elementwise VPU traffic instead.
+        import os as _os
+
+        if _spatial_mesh_active() or train or _os.environ.get("SKYEYE_SPP_SHIFTMAX"):
             # Shift-max pools, built INCREMENTALLY (SPPF-style: stride-1 SAME
             # window maxima compose, max_{k2}(max_{k1}(x)) == max_{k1+k2-1}(x),
             # so (5, 9, 13) costs three 5-window chains instead of 5+9+13).

@@ -53,6 +53,9 @@ class SkyEyeDetectorModule(nn.Module):
     # serving-path merged CSP split convs (one cv1+cv2 conv per CSP; use with
     # variables transformed by ops.merged_csp.merge_csp_cv12_variables)
     merged_csp: bool = False
+    # serving-path W-pair packed bottleneck chains for narrow (hidden < 128)
+    # CSPs; use with variables from ops.packed_csp.pack_csp_m_variables
+    packed_m_csp: bool = False
     # parity/weight-import mode: run the enhanced cross-layer attention with the
     # reference's exact (repaired) degenerate semantics — see
     # CrossLayerAttention.ref_exact. Only meaningful with config.enhanced.
@@ -78,6 +81,7 @@ class SkyEyeDetectorModule(nn.Module):
             int8_early=self.int8_early,
             packed_stage1=self.packed_stage1,
             merged_csp=self.merged_csp,
+            packed_m_csp=self.packed_m_csp,
             remat=self.remat,
             name="backbone",
         )(x, train)
@@ -89,6 +93,7 @@ class SkyEyeDetectorModule(nn.Module):
             in_channels=tuple(channels), dtype=self.dtype,
             remat=(self.remat is True or self.remat == "block"),
             merged_csp=self.merged_csp,
+            packed_m_csp=self.packed_m_csp,
             name="neck"
         )(feats, train)
 

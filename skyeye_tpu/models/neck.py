@@ -42,6 +42,8 @@ class FeatureNeck(nn.Module):
     remat: bool = False
     # serving-path merged cv1+cv2 split convs (see CSPBlock.merged_cv12)
     merged_csp: bool = False
+    # serving-path W-pair packed bottleneck chains (see CSPBlock.packed_m)
+    packed_m_csp: bool = False
 
     @property
     def out_channels(self) -> List[int]:
@@ -59,21 +61,22 @@ class FeatureNeck(nn.Module):
 
         p4_merged = jnp.concatenate([upsample_nearest_2x(p5_td), p4], axis=-1)
         p4_processed = CSP(c4, 3, dtype=self.dtype, merged_cv12=self.merged_csp,
+                           packed_m=self.packed_m_csp,
                            name="fpn4")(p4_merged, train)
 
         p3_merged = jnp.concatenate([upsample_nearest_2x(p4_td), p3], axis=-1)
-        p3_processed = CSP(c3, 3, dtype=self.dtype, merged_cv12=self.merged_csp,
+        p3_processed = CSP(c3, 3, dtype=self.dtype, merged_cv12=self.merged_csp, packed_m=self.packed_m_csp,
                            name="fpn3")(p3_merged, train)
 
         # Bottom-up path
         p3_down = ConvBlock(c3, 3, 2, dtype=self.dtype, name="down3")(p3_processed, train)
-        p4_out = CSP(c4, 3, dtype=self.dtype, merged_cv12=self.merged_csp,
+        p4_out = CSP(c4, 3, dtype=self.dtype, merged_cv12=self.merged_csp, packed_m=self.packed_m_csp,
                      name="pan4")(
             jnp.concatenate([p3_down, p4_processed], axis=-1), train
         )
 
         p4_down = ConvBlock(c4, 3, 2, dtype=self.dtype, name="down4")(p4_out, train)
-        p5_out = CSP(c5, 3, dtype=self.dtype, merged_cv12=self.merged_csp,
+        p5_out = CSP(c5, 3, dtype=self.dtype, merged_cv12=self.merged_csp, packed_m=self.packed_m_csp,
                      name="pan5")(
             jnp.concatenate([p4_down, p5], axis=-1), train
         )

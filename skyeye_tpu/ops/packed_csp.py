@@ -117,6 +117,144 @@ def _tile_bn(leaf: np.ndarray, phases: int = 4) -> np.ndarray:
     return np.tile(np.asarray(leaf), phases)
 
 
+def _is_canonical_csp(node) -> bool:
+    """A CSPBlock subtree (raw cv1/cv2 or merged cv12), not SPP/Bottleneck."""
+    return (isinstance(node, dict) and "m0" in node and "cv3" in node
+            and ("cv1" in node or "cv12" in node))
+
+
+def _emit_w2_1x1(k: np.ndarray) -> np.ndarray:
+    """(1, 1, ci, co) -> (1, 2, ci, 2co): a stride-(1,2) conv over the
+    CANONICAL input that emits the W-paired layout [out(w0) | out(w1)]."""
+    k = np.asarray(k)
+    ci, co = k.shape[2], k.shape[3]
+    out = np.zeros((1, 2, ci, 2 * co), k.dtype)
+    out[0, 0, :, :co] = k[0, 0]
+    out[0, 1, :, co:] = k[0, 0]
+    return out
+
+
+def _emit_w2_cv12(k: np.ndarray, hidden: int) -> np.ndarray:
+    """Merged cv12 (1, 1, ci, 2h) -> (1, 2, ci, 4h) emitting
+    [y1(w0) | y1(w1) | y2(w0) | y2(w1)] so the chain slice y[..., :2h] is the
+    W-paired y1 and y[..., 2h:] the W-paired bypass."""
+    k = np.asarray(k)
+    ci = k.shape[2]
+    h = hidden
+    out = np.zeros((1, 2, ci, 4 * h), k.dtype)
+    out[0, 0, :, 0:h] = k[0, 0, :, :h]          # y1 w0
+    out[0, 1, :, h : 2 * h] = k[0, 0, :, :h]    # y1 w1
+    out[0, 0, :, 2 * h : 3 * h] = k[0, 0, :, h:]  # y2 w0
+    out[0, 1, :, 3 * h :] = k[0, 0, :, h:]      # y2 w1
+    return out
+
+
+def _emit_w2_cv12_bn(leaf: np.ndarray, hidden: int) -> np.ndarray:
+    b = np.asarray(leaf)
+    return np.concatenate([b[:hidden], b[:hidden], b[hidden:], b[hidden:]])
+
+
+def _consume_w2_cv3(k: np.ndarray, hidden: int) -> np.ndarray:
+    """cv3 (1, 1, 2h, c) -> (1, 1, 4h, 2c) consuming the W-paired concat
+    [y1(w0)|y1(w1)|y2(w0)|y2(w1)] and emitting [out(w0) | out(w1)] — the
+    channel pair reshapes back to two canonical pixels without padding."""
+    k = np.asarray(k)
+    h, c = hidden, k.shape[3]
+    out = np.zeros((1, 1, 4 * h, 2 * c), k.dtype)
+    out[0, 0, 0:h, :c] = k[0, 0, :h]
+    out[0, 0, h : 2 * h, c:] = k[0, 0, :h]
+    out[0, 0, 2 * h : 3 * h, :c] = k[0, 0, h:]
+    out[0, 0, 3 * h :, c:] = k[0, 0, h:]
+    return out
+
+
+def pack_csp_m_variables(variables: Dict, max_hidden: int = 127) -> Dict:
+    """Rewrite narrow CSP blocks into the W-paired residency of
+    CSPBlock(packed_m=True).
+
+    Round-4 per-op attribution (profiles/r4s1_1280): at hidden < 128 the
+    bottleneck 3x3 convs use a fraction of the 128 MXU lanes and run at ~26%
+    of their floor (csp2/fpn3 @1280: 6 x 640 us vs 170 us floors). The whole
+    block moves to (B, H, W/2, 2*ch): the split conv(s) emit the paired
+    layout (1x2/stride-(1,2) remap), the chain packs phase-block-diagonally
+    (pack_1x1_kernel 2 phases / pack_3x3_kernel ph=1 pw=2), and cv3 consumes
+    the pair, emitting [out(w0)|out(w1)] channels that reshape to canonical
+    for free. Exact remap — tests/test_packed_csp.py::test_packed_m_*.
+
+    Walks the whole tree (params + batch_stats, raw or BN-fused) and rewrites
+    every canonical CSP whose hidden width <= max_hidden; wider chains and the
+    already-packed stage-1 subtree are left alone. The CSPBlock side applies
+    the same hidden < 128 predicate, so module and variables stay in sync.
+    """
+    import re
+
+    def pack_m(m):
+        out = {}
+        for blk, sub in m.items():
+            new = {}
+            if "conv" in sub:
+                k = np.asarray(sub["conv"]["kernel"])
+                if k.shape[:2] == (1, 1):
+                    new["conv"] = {"kernel": pack_1x1_kernel(k, phases=2)}
+                else:
+                    new["conv"] = {"kernel": pack_3x3_kernel(k, ph=1, pw=2)}
+            if "bn" in sub:
+                new["bn"] = {kk: _tile_bn(v, 2) for kk, v in sub["bn"].items()}
+            out[blk] = new
+        return out
+
+    def hidden_of(m0) -> int:
+        cv2 = m0["cv2"]
+        if "conv" in cv2:
+            return int(np.asarray(cv2["conv"]["kernel"]).shape[3])
+        return int(np.asarray(next(iter(cv2["bn"].values()))).shape[0])
+
+    def pack_csp(node, hidden):
+        out = {}
+        for k, v in node.items():
+            if re.fullmatch(r"m\d+", k):
+                out[k] = pack_m(v)
+            elif k in ("cv1", "cv2"):
+                new = {}
+                if "conv" in v:
+                    new["conv"] = {"kernel": _emit_w2_1x1(v["conv"]["kernel"])}
+                if "bn" in v:
+                    new["bn"] = {kk: _tile_bn(b, 2) for kk, b in v["bn"].items()}
+                out[k] = new
+            elif k == "cv12":
+                new = {}
+                if "conv" in v:
+                    new["conv"] = {"kernel": _emit_w2_cv12(
+                        v["conv"]["kernel"], hidden)}
+                if "bn" in v:
+                    new["bn"] = {kk: _emit_w2_cv12_bn(b, hidden)
+                                 for kk, b in v["bn"].items()}
+                out[k] = new
+            elif k == "cv3":
+                new = {}
+                if "conv" in v:
+                    new["conv"] = {"kernel": _consume_w2_cv3(
+                        v["conv"]["kernel"], hidden)}
+                if "bn" in v:
+                    new["bn"] = {kk: _tile_bn(b, 2) for kk, b in v["bn"].items()}
+                out[k] = new
+            else:
+                out[k] = walk(v)
+        return out
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        if _is_canonical_csp(node):
+            h = hidden_of(node["m0"])
+            if h <= max_hidden:
+                return pack_csp(node, h)
+        return {k: walk(v) for k, v in node.items()}
+
+    out = {col: walk(tree) for col, tree in variables.items()}
+    return jax.tree_util.tree_map(np.asarray, out)
+
+
 class PackedStage1(nn.Module):
     """Serving-form csp1 + down2 in the 2x2-s2d packed domain.
 

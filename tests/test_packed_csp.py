@@ -126,3 +126,48 @@ def test_packed_stage1_multi_block_variant():
     for r, g in zip(ref, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=1e-4, atol=3e-5)
+
+
+def test_packed_m_csp_full_model_matches_canonical():
+    """Full detector forward: W-pair packed bottleneck chains == canonical.
+
+    Exercises the full serving remap stack (fuse_conv_bn -> merged cv12 ->
+    pack_csp_m_variables) at a geometry where csp2/fpn3 have hidden < 128
+    so the W-paired branch actually engages."""
+    from skyeye_tpu.ops.merged_csp import merge_csp_cv12_variables
+    from skyeye_tpu.ops.packed_csp import pack_csp_m_variables
+
+    cfg = ModelConfig.from_variant("s", nc=5)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.integers(0, 255, (2, 128, 128, 3)), jnp.float32) / 255.0
+
+    canonical = SkyEyeDetectorModule(config=cfg)
+    variables = _randomized_variables(canonical, x, seed=9)
+    fused = fuse_conv_bn(variables)
+    ref = canonical.apply(fused, x, train=False)
+
+    mod = SkyEyeDetectorModule(config=cfg, merged_csp=True, packed_m_csp=True)
+    pvars = pack_csp_m_variables(merge_csp_cv12_variables(fused))
+    got = mod.apply(pvars, x, train=False)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=3e-5)
+
+
+def test_packed_m_csp_raw_bn_variables():
+    """pack_csp_m_variables also works pre-BN-fold (tiles batch_stats)."""
+    from skyeye_tpu.ops.packed_csp import pack_csp_m_variables
+
+    cfg = ModelConfig.from_variant("s", nc=2)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.integers(0, 255, (1, 64, 64, 3)), jnp.float32) / 255.0
+
+    canonical = SkyEyeDetectorModule(config=cfg)
+    variables = _randomized_variables(canonical, x, seed=13)
+    ref = canonical.apply(variables, x, train=False)
+
+    mod = SkyEyeDetectorModule(config=cfg, packed_m_csp=True)
+    got = mod.apply(pack_csp_m_variables(variables), x, train=False)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=3e-5)
