@@ -150,6 +150,12 @@ class ConfusionMatrix:
                 self.matrix[self.nc, gc] += 1  # background FN
             return
         detections = detections[detections[:, 4] > self.conf]
+        # Detections whose class id is outside this dataset's range (e.g. a
+        # model with more classes than the eval set) can't land anywhere in
+        # the (nc+1, nc+1) matrix — drop them instead of indexing out of
+        # bounds. The reference's ConfusionMatrix (metrics.py) has the same
+        # crash; counted-as-nothing matches its semantics for foreign classes.
+        detections = detections[detections[:, 5] < self.nc]
         gt_classes = labels[:, 0].astype(int)
         det_classes = detections[:, 5].astype(int)
 

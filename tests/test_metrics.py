@@ -90,6 +90,19 @@ def test_confusion_matrix():
     assert cm2.matrix[3, 0] == 1 and cm2.matrix[3, 1] == 1
 
 
+def test_confusion_matrix_foreign_classes_dropped():
+    """Detections with class ids >= nc (model trained with more classes than
+    the eval dataset defines) must be dropped, not IndexError (found live:
+    validate --weights skyeye_s against an 8-class data.yaml)."""
+    cm = ConfusionMatrix(nc=3)
+    det = np.array([[10, 10, 50, 50, 0.9, 29],   # foreign class: dropped
+                    [10, 10, 50, 50, 0.8, 0]], np.float32)
+    labels = np.array([[0, 10, 10, 50, 50]], np.float32)
+    cm.process_batch(det, labels)
+    assert cm.matrix[0, 0] == 1          # in-range det still credited
+    assert cm.matrix.sum() == 1          # foreign det contributed nothing
+
+
 def test_box_iou_np():
     a = np.array([[0, 0, 10, 10]], np.float32)
     b = np.array([[0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]], np.float32)
