@@ -203,7 +203,15 @@ class ComputeLoss:
         lcls = jnp.zeros((), jnp.float32)
 
         for i, pi in enumerate(predictions):
-            pi = pi.astype(jnp.float32)
+            # Keep pi in its native dtype (bf16 under the shipped train step)
+            # and upcast only at the use sites (the gathered K rows and the
+            # objectness plane). Upcasting the whole (B, H, W, na, no) tensor
+            # costs a full f32 materialization forward AND makes autodiff
+            # assemble the slice/gather cotangents (pad + scatter + add) in
+            # f32 — ~1.2 ms of the 32 ms train step @640 b16
+            # (profiles/r4s1_train640: pad.109 + reshape.1268). The conv
+            # backward consumes a bf16 cotangent anyway, so f32 assembly
+            # bought nothing; the loss arithmetic itself stays f32.
             B, H, W, na, no = pi.shape
             asg = build_targets_level(
                 targets, mask, self.anchors[i], (H, W), self.hyp["anchor_t"]
@@ -216,7 +224,7 @@ class ComputeLoss:
                 w = w * img_weight[jnp.clip(b, 0, B - 1)]
 
             # gather matched predictions: (K, no)
-            ps = pi[b, gj, gi, a]
+            ps = pi[b, gj, gi, a].astype(jnp.float32)
 
             pxy = jax.nn.sigmoid(ps[:, 0:2]) * 2.0 - 0.5
             pwh = (jax.nn.sigmoid(ps[:, 2:4]) * 2.0) ** 2 * asg["anchor_wh"]
@@ -229,7 +237,7 @@ class ComputeLoss:
             tobj = jnp.zeros((B, H, W, na), jnp.float32)
             b_safe = jnp.where(m, b, B)  # OOB -> dropped
             tobj = tobj.at[b_safe, gj, gi, a].max(score_iou, mode="drop")
-            obj_bce = self._cls_obj_bce(pi[..., 4], tobj)
+            obj_bce = self._cls_obj_bce(pi[..., 4].astype(jnp.float32), tobj)
             if img_weight is not None:
                 lobj = lobj + masked_mean(obj_bce, img_weight) * self.balance[i]
             else:
