@@ -77,9 +77,17 @@ def _build_pipeline(variant: str, img: int, nc: int, batch: int):
     # convs read the same input; one 2h-channel conv reads it from HBM once.
     # Exact remap (tests/test_merged_csp.py). SKYEYE_NO_MERGED_CSP=1 opts out.
     merged = not os.environ.get("SKYEYE_NO_MERGED_CSP")
+    # W-pair packed bottleneck chains for narrow CSPs (ops/packed_csp.py
+    # pack_csp_m_variables): the hidden-64 m-convs of csp2/fpn3 run at ~26% of
+    # their floor on 64/128 lanes (profiles/r4s1_1280); W-pairing fills the
+    # lanes at 2x nominal MXU. Measured on-chip @1280 b16: 733.8 vs 771.0
+    # img/s — a 4.8% REGRESSION (profiles/r4s2_packedm), so OFF by default;
+    # SKYEYE_PACKED_M=1 opts in (the remap itself is exact, tests pass).
+    packedm = bool(os.environ.get("SKYEYE_PACKED_M"))
     module = SkyEyeDetectorModule(config=cfg, dtype=jnp.bfloat16, packed_stem=True,
                                   fused_csp=fused, int8_early=int8,
-                                  packed_stage1=pstage1, merged_csp=merged)
+                                  packed_stage1=pstage1, merged_csp=merged,
+                                  packed_m_csp=packedm)
     canonical = SkyEyeDetectorModule(config=cfg, dtype=jnp.bfloat16)
     variables = canonical.init(
         jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3), jnp.float32), train=False
@@ -144,6 +152,10 @@ def _build_pipeline(variant: str, img: int, nc: int, batch: int):
         # signature-driven walk: rewrites every remaining canonical CSP subtree
         # (packed/int8-replaced stages are left alone)
         variables = merge_csp_cv12_variables(variables)
+    if packedm:
+        from skyeye_tpu.ops.packed_csp import pack_csp_m_variables
+
+        variables = pack_csp_m_variables(variables)
 
     def body(frames):  # uint8 (B, H/4, W/4, 48) host-packed (s2d4_host)
         x = frames.astype(jnp.bfloat16)
@@ -461,6 +473,42 @@ def measure_tpu() -> dict:
         dt_s = (time.perf_counter() - t0) / KS
     streaming_ips = BATCH / dt_s
 
+    # SIMULATED-PCIE streaming (VERDICT r3 #6): the honest streaming row above
+    # is relay-bound (~20-45 MB/s H2D through the axon tunnel), so round 3 could
+    # only EXTRAPOLATE "at PCIe rates H2D overlaps compute". This measures it:
+    # stage 4 batches HBM-resident, then feed the pipeline on a paced clock —
+    # batch i is released only after i*ingest_budget has elapsed, modeling
+    # frames arriving over a PCIe-class link (78.6 MB/batch at ~12 GB/s =
+    # 6.5 ms/batch) — with the same bounded in-flight queue + D2H drain as the
+    # real streaming loop. The skipped DMA itself would cost ~0.1 ms of HBM
+    # time per batch (78.6 MB / 819 GB/s), negligible next to ~21 ms compute.
+    # Claim proven if throughput ~= device_only.
+    sim_pcie_ips = None
+    SIM_INGEST_S = 0.0065
+    try:
+        sim_frames = [put_input(s2d4_host(f)) for f in raw_frames]
+        jax.block_until_ready(sim_frames)
+        KP = 24
+        results = []
+        t_start = time.perf_counter()
+        for i in range(KP):
+            budget = t_start + (i + 1) * SIM_INGEST_S
+            now = time.perf_counter()
+            if now < budget:  # frame not "arrived" yet at PCIe pace
+                time.sleep(budget - now)
+            det, n = pipeline(sim_frames[i % len(sim_frames)])
+            results.append((det, n))
+            if len(results) > 3:  # same bounded queue as the streaming loop
+                d, nn = results.pop(0)
+                np.asarray(d), np.asarray(nn)  # D2H drain
+        for d, nn in results:
+            np.asarray(d), np.asarray(nn)
+        sim_pcie_ips = BATCH * KP / (time.perf_counter() - t_start)
+        print(f"# simulated-PCIe streaming ({SIM_INGEST_S*1000:.1f} ms/batch "
+              f"ingest): {sim_pcie_ips:.1f} img/s", file=sys.stderr)
+    except Exception as e:
+        print(f"# simulated-PCIe streaming failed: {e}", file=sys.stderr)
+
     def mfu_of(ips):
         if not flops_per_img:
             return None
@@ -485,9 +533,75 @@ def measure_tpu() -> dict:
         "h2d_mbps": round(h2d_mbps, 1),
         "latency_ips": BATCH / lat,
         "burst_latency_ips": burst_ips,
+        "sim_pcie_ips": sim_pcie_ips,
+        "sim_ingest_ms": SIM_INGEST_S * 1000,
         "mfu_pct": mfu_of(device_ips if relay_bound else streaming_ips),
         "mfu_device_only_pct": mfu_of(device_ips),
         "compile_s": round(compile_s, 1),
+    }
+
+
+def measure_burst_sweep(ks=(1, 2, 4, 8, 16)) -> dict:
+    """VERDICT r3 #8: the latency/throughput frontier of the burst launch.
+
+    For each K: ONE lax.scan launch carries K micro-batches of BATCH images.
+    ms_to_first_result = the single-launch round trip (relay dispatch + K
+    batches of compute — the latency a K-batch request pays), pipelined_ips =
+    throughput with several K-launches in flight. K=1 is the plain pipeline.
+    A deployment picks its point: small K for latency, large K for throughput.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from skyeye_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    _probe_batched_nms_kernel()
+    from skyeye_tpu.ops.packed_stem import s2d4_host
+
+    _, _, _, _, body = _build_pipeline(VARIANT, IMG, NC, BATCH)
+    rng = np.random.default_rng(0)
+    packed = s2d4_host(
+        rng.integers(0, 255, (BATCH, IMG, IMG, 3)).astype(np.uint8))
+
+    rows = []
+    for K in ks:
+        if K == 1:
+            fn = jax.jit(body)
+            host = packed
+        else:
+            def burst_body(st):
+                return jax.lax.scan(lambda c, fr: (c, body(fr)), 0, st)[1]
+
+            fn = jax.jit(burst_body)
+            host = np.stack([packed] * K)
+        stack = jnp.asarray(host)
+        t0 = time.time()
+        jax.block_until_ready(fn(stack))
+        compile_s = time.time() - t0
+        lats = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(stack))
+            lats.append(time.perf_counter() - t0)
+        lat_ms = float(np.median(lats)) * 1000
+        KB = max(2, 24 // K)
+        t0 = time.perf_counter()
+        outs = [fn(stack) for _ in range(KB)]
+        jax.block_until_ready(outs)
+        ips = K * BATCH * KB / (time.perf_counter() - t0)
+        rows.append({"k": K, "ms_to_first_result": round(lat_ms, 1),
+                     "single_launch_images_per_s": round(K * BATCH / lat_ms * 1000, 1),
+                     "pipelined_images_per_s": round(ips, 1),
+                     "compile_s": round(compile_s, 1)})
+        print(f"# K={K}: {lat_ms:.1f} ms/launch "
+              f"({K * BATCH / lat_ms * 1000:.1f} img/s single, "
+              f"{ips:.1f} pipelined)", file=sys.stderr)
+    return {
+        "metric": f"burst-K latency/throughput frontier @{IMG}px b{BATCH} "
+                  "(K micro-batches per lax.scan launch)",
+        "value": rows[-1]["pipelined_images_per_s"], "unit": "images/sec",
+        "sweep": rows, "cached": False,
     }
 
 
@@ -841,7 +955,8 @@ def main():
         fn = {"transformer1280": measure_transformer_1280,
               "tiled4k": measure_tiled_4k,
               "single640": measure_single_640,
-              "train640": measure_train_640}[which]
+              "train640": measure_train_640,
+              "burstsweep": measure_burst_sweep}[which]
         print(json.dumps(fn()))
         return
 
@@ -885,6 +1000,12 @@ def main():
         "streaming_relay_bound": m["relay_bound"],
         "h2d_mbps": m["h2d_mbps"],
         "device_only_images_per_s": round(m["device_only_ips"], 2),
+        # paced-feed measurement of the PCIe-class streaming claim (VERDICT r3
+        # #6): batches released at sim_ingest_ms intervals (PCIe H2D budget for
+        # 78.6 MB), HBM-resident inputs, same bounded queue + D2H as streaming
+        "streaming_simulated_pcie_ips": (
+            round(m["sim_pcie_ips"], 2) if m.get("sim_pcie_ips") else None),
+        "sim_ingest_ms_per_batch": m.get("sim_ingest_ms"),
         # scan-of-4 micro-batch launches, pipelined: same per-image work, the
         # per-launch relay gap amortized 4x (reported separately, not headline)
         "burst_pipelined_images_per_s": (

@@ -49,6 +49,10 @@ def main():
                    help="'enhanced' = EnhancedSkyEyeDetector parity: our enhanced "
                         "model in ref_exact cross-attention mode vs the repaired "
                         "reference (repairs R1-R3, tools/ref_harness.py)")
+    p.add_argument("--seed", type=int, default=0,
+                   help="TRAINING seed (init + shuffling + aug). The val split "
+                        "stays fixed across seeds so a multi-seed sweep "
+                        "isolates training-seed variance (VERDICT r3 #4).")
     p.add_argument("--eval-img-size", type=int, default=None,
                    help="evaluate BOTH stacks at this geometry instead of the "
                         "training --img-size (reference eval protocol is 1280, "
@@ -110,7 +114,7 @@ def main():
             cfg=cfg, data=str(data_yaml), hyp=str(hyp_path), epochs=args.epochs,
             batch_size=args.batch_size, img_size=args.img_size, accumulate=1,
             project=str(workdir), name="run", exist_ok=True, workers=4,
-            patience=10_000, max_labels=160, noval=True,
+            patience=10_000, max_labels=160, noval=True, seed=args.seed,
             save_period=100,  # orbax saves cost seconds; thin them under noval
         )
         wdir = Path(save_dir) / "weights"
@@ -223,7 +227,7 @@ def main():
         "delta_map5095_pt": round(float(d95) * 100, 3),
         "decoded_max_abs_diff": diff,
         "img_size": args.img_size, "eval_img_size": eval_img,
-        "n_val": args.n_val, "epochs": args.epochs,
+        "n_val": args.n_val, "epochs": args.epochs, "seed": args.seed,
         "variant": args.variant, "verdict": verdict,
     }, indent=1))
     print(f"wrote {workdir/'parity.json'}")
