@@ -393,7 +393,7 @@ def validate(
     for i, c in enumerate(ap_class):
         maps[int(c)] = ap_all[i]
     val_loss = tuple(loss_sum / max(n_batches, 1))
-    return (mp, mr, map50, map_, *val_loss), maps, (pre_ms, inf_ms)
+    return (mp, mr, map50, map_, *val_loss), maps, (pre_ms, inf_ms, wall_ips)
 
 
 def parse_opt():

@@ -36,6 +36,9 @@ def main():
                         "0, 600ish epochs reach mAP50 ~0.7) so the host-vs-device "
                         "aug delta is measured on a CONVERGED model (VERDICT r2 "
                         "#7) — compares the on-device affine/HSV/flip pipeline")
+    p.add_argument("--seed", type=int, default=0,
+                   help="training seed (data split stays fixed) — the 2-seed "
+                        "repeat VERDICT r3 weak-#4 asks for")
     p.add_argument("--modes", default="host_aug,device_aug",
                    help="comma-separated subset of host_aug,device_aug to (re)run; "
                         "skipped modes reuse results from an existing "
