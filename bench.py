@@ -28,6 +28,7 @@ Extra configs (BASELINE.json #1/#2/#3/#5) run with
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -159,6 +160,13 @@ def _build_pipeline(variant: str, img: int, nc: int, batch: int):
 
     def body(frames):  # uint8 (B, H/4, W/4, 48) host-packed (s2d4_host)
         x = frames.astype(jnp.bfloat16)
+        if os.environ.get("SKYEYE_STEM_BF16_MATERIALIZE"):
+            # A/B probe: XLA sinks this convert INTO the stem conv (the fused
+            # conv reads u8 operands directly, profiles/r4s4_1280_barrier
+            # fused_computation.9) and that conv runs at ~50% of its MXU floor.
+            # The barrier forces a materialized bf16 input plane (+~0.3 ms HBM)
+            # to test whether a bf16-operand conv emitter recovers more.
+            x = jax.lax.optimization_barrier(x)
         if not fold_scale:
             x = x / 255.0
         outs = module.apply(variables, x, train=False)
@@ -486,10 +494,46 @@ def measure_tpu() -> dict:
     sim_pcie_ips = None
     SIM_INGEST_S = 0.0065
     try:
+        import queue as _queue
+        import threading
+
         sim_frames = [put_input(s2d4_host(f)) for f in raw_frames]
         jax.block_until_ready(sim_frames)
-        KP = 24
-        results = []
+        # D2H drain runs in a SIDE thread with the relay round trip amortized:
+        # every DRAIN_G results are stacked ON DEVICE by a tiny jit and fetched
+        # in ONE transfer. At PCIe the drain is ~10 us/batch ((16,300,6) f32 =
+        # 115 KB); through the axon tunnel a per-batch synchronous np.asarray
+        # costs a ~30 ms round trip — which would measure the tunnel again,
+        # exactly what this mode exists to factor out (the round-3 sim did
+        # that and read 255 img/s of pure relay RTT). The stacked fetch keeps
+        # a REAL detections-to-host path in the loop (every batch's boxes and
+        # counts reach host memory) while the RTT amortizes DRAIN_G x.
+        DRAIN_G = 8
+        stack_dets = jax.jit(lambda ds, ns: (jnp.stack(ds), jnp.stack(ns)))
+        drain_err: list = []
+
+        def drain(q):
+            try:
+                while True:
+                    group = q.get()
+                    if group is None:
+                        return
+                    ds, ns = zip(*group)
+                    sd, sn = stack_dets(list(ds), list(ns))
+                    np.asarray(sd), np.asarray(sn)  # one D2H per group
+            except Exception as e:  # re-raised on the main thread
+                drain_err.append(e)
+
+        # warm the stack jit + one fetch OUTSIDE the timed window
+        warm = [pipeline(sim_frames[0]) for _ in range(DRAIN_G)]
+        wd, wn = stack_dets([d for d, _ in warm], [n for _, n in warm])
+        np.asarray(wd), np.asarray(wn)
+
+        q: _queue.Queue = _queue.Queue()
+        th = threading.Thread(target=drain, args=(q,), daemon=True)
+        th.start()
+        KP = 48
+        pend = []
         t_start = time.perf_counter()
         for i in range(KP):
             budget = t_start + (i + 1) * SIM_INGEST_S
@@ -497,12 +541,16 @@ def measure_tpu() -> dict:
             if now < budget:  # frame not "arrived" yet at PCIe pace
                 time.sleep(budget - now)
             det, n = pipeline(sim_frames[i % len(sim_frames)])
-            results.append((det, n))
-            if len(results) > 3:  # same bounded queue as the streaming loop
-                d, nn = results.pop(0)
-                np.asarray(d), np.asarray(nn)  # D2H drain
-        for d, nn in results:
-            np.asarray(d), np.asarray(nn)
+            pend.append((det, n))
+            if len(pend) == DRAIN_G:
+                q.put(pend)
+                pend = []
+        if pend:
+            q.put(pend)
+        q.put(None)
+        th.join()
+        if drain_err:
+            raise drain_err[0]
         sim_pcie_ips = BATCH * KP / (time.perf_counter() - t_start)
         print(f"# simulated-PCIe streaming ({SIM_INGEST_S*1000:.1f} ms/batch "
               f"ingest): {sim_pcie_ips:.1f} img/s", file=sys.stderr)
@@ -846,22 +894,53 @@ def measure_train_640(batch: int = 16, steps: int = 24) -> dict:
     ips_bf16, ms_bf16, comp_bf16 = run_one(jnp.bfloat16)
     print(f"# bf16 packed-stem train step: {ips_bf16:.1f} img/s ({ms_bf16:.1f} ms)",
           file=sys.stderr)
-    ips_canon, ms_canon, comp_canon = run_one(jnp.bfloat16, packed=False)
-    print(f"# bf16 canonical train step: {ips_canon:.1f} img/s ({ms_canon:.1f} ms)",
-          file=sys.stderr)
-    ips_f32, ms_f32, comp_f32 = run_one(jnp.float32)
-    print(f"# f32 train step: {ips_f32:.1f} img/s ({ms_f32:.1f} ms)",
-          file=sys.stderr)
+    if os.environ.get("SKYEYE_TRAIN640_BF16_ONLY"):
+        # headline-only mode: the canonical/f32 secondary rows each cost a
+        # cold ~10-min remote compile; skip them when the chip-time budget is
+        # the constraint (their values are recorded in BASELINE.md)
+        ips_canon = ms_canon = ips_f32 = ms_f32 = None
+        comp_canon = comp_f32 = 0.0
+    else:
+        ips_canon, ms_canon, comp_canon = run_one(jnp.bfloat16, packed=False)
+        print(f"# bf16 canonical train step: {ips_canon:.1f} img/s "
+              f"({ms_canon:.1f} ms)", file=sys.stderr)
+        ips_f32, ms_f32, comp_f32 = run_one(jnp.float32)
+        print(f"# f32 train step: {ips_f32:.1f} img/s ({ms_f32:.1f} ms)",
+              file=sys.stderr)
+
+    # analytic train-step FLOPs (fwd+bwd+optimizer, canonical stem — the
+    # packed domains compute structured zeros that would overstate MFU), so
+    # the train row carries an MFU column like the serving rows (VERDICT r3 #3)
+    train_mfu = None
+    try:
+        from skyeye_tpu.utils.profiling import flops_by_trace
+
+        module = SkyEyeDetectorModule(config=cfg, dtype=jnp.bfloat16,
+                                      packed_stem_train=False)
+        variables = module.init(jax.random.PRNGKey(0),
+                                jnp.zeros((2, 640, 640, 3)), train=True)
+        tx = build_optimizer_runtime(DEFAULT_HYP, variables["params"],
+                                     batch_size=batch)
+        state = create_train_state(variables, tx)
+        f = flops_by_trace(make_train_step(module, loss_fn, tx), state,
+                           dict(base_batch, images=images))
+        if f:
+            train_mfu = round(ips_bf16 * (f / batch) / 197e12 * 100, 2)
+            print(f"# train FLOPs/img {f / batch / 1e9:.1f} GF -> "
+                  f"MFU {train_mfu}%", file=sys.stderr)
+    except Exception as e:
+        print(f"# train cost analysis unavailable: {e}", file=sys.stderr)
     return {
         "metric": f"skyeye_{VARIANT} train step @640px b{batch} "
                   "(fwd+bwd+optimizer+EMA, one launch, bf16 activations, "
                   "packed stem — the cli/train default)",
         "value": round(ips_bf16, 1), "unit": "images/sec",
         "ms_per_step": round(ms_bf16, 1),
-        "canonical_images_per_s": round(ips_canon, 1),
-        "canonical_ms_per_step": round(ms_canon, 1),
-        "f32_images_per_s": round(ips_f32, 1),
-        "f32_ms_per_step": round(ms_f32, 1),
+        "canonical_images_per_s": None if ips_canon is None else round(ips_canon, 1),
+        "canonical_ms_per_step": None if ms_canon is None else round(ms_canon, 1),
+        "f32_images_per_s": None if ips_f32 is None else round(ips_f32, 1),
+        "f32_ms_per_step": None if ms_f32 is None else round(ms_f32, 1),
+        "mfu_pct": train_mfu,
         "compile_s": round(comp_bf16 + comp_canon + comp_f32, 1),
         "cached": False,
     }

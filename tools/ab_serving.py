@@ -18,7 +18,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 _FLAGS = ("SKYEYE_STEM_BARRIER", "SKYEYE_NO_STEM_BARRIER",
-          "SKYEYE_SPP_SHIFTMAX", "SKYEYE_NO_PACKED_M", "SKYEYE_PACKED_M")
+          "SKYEYE_SPP_SHIFTMAX", "SKYEYE_NO_PACKED_M", "SKYEYE_PACKED_M",
+          "SKYEYE_STEM_BF16_MATERIALIZE")
 
 VARIANTS = {
     "base": {},  # current defaults (stem barrier ON since 2026-08-19)
@@ -29,6 +30,9 @@ VARIANTS = {
     # packed_m measured -4.8% on chip -> default OFF; "packedm" opts in
     "packedm": {"SKYEYE_PACKED_M": "1"},
     "barrier_packedm": {"SKYEYE_STEM_BARRIER": "1", "SKYEYE_PACKED_M": "1"},
+    # force a materialized bf16 stem input (XLA otherwise sinks the u8->bf16
+    # convert into the stem conv, which runs at ~50% of MXU floor)
+    "stembf16": {"SKYEYE_STEM_BF16_MATERIALIZE": "1"},
 }
 
 
@@ -39,6 +43,12 @@ def main():
     ap.add_argument("--rounds", type=int, default=24)
     ap.add_argument("--variants", default="base,barrier,shiftmax,both")
     ap.add_argument("--model", default="skyeye_s")
+    ap.add_argument("--auto-layout", action="store_true",
+                    help="AOT-compile each variant with Layout.AUTO inputs and "
+                         "device_put the frames in the compiler-chosen format "
+                         "(the shipped bench.py headline path) — layout-"
+                         "sensitive variants like packedm measure differently "
+                         "under AUTO than under the default input layout")
     args = ap.parse_args()
 
     import numpy as np
@@ -67,9 +77,17 @@ def main():
         try:
             _, _, _, _, body = bench._build_pipeline(
                 args.model, args.img, bench.NC, args.batch)
-            fn = jax.jit(body)
-            x = jnp.asarray(packed)
             t0 = time.time()
+            if args.auto_layout:
+                from jax.experimental.layout import Format, Layout
+
+                fn = (jax.jit(body, in_shardings=Format(Layout.AUTO))
+                      .lower(jax.ShapeDtypeStruct(packed.shape, jnp.uint8))
+                      .compile())
+                x = bench._put_with_format(packed, fn.input_formats[0][0])
+            else:
+                fn = jax.jit(body)
+                x = jnp.asarray(packed)
             jax.block_until_ready(fn(x))
             compile_s = time.time() - t0
             # warm
