@@ -53,27 +53,70 @@ class ChannelAttention(nn.Module):
         return x * gate[:, None, None, :]
 
 
+class _SpatialAttnKernel(nn.Module):
+    """Bare (k, k, 2, 1) conv kernel param under the same {conv: {kernel}} tree
+    nn.Conv would create — the shift-add path below needs the raw weights."""
+
+    kernel_size: int = 7
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, self.kernel_size, 2, 1), jnp.float32)
+
+
 class SpatialAttention(nn.Module):
-    """Channel-mean/max maps -> kxk conv -> sigmoid gate."""
+    """Channel-mean/max maps -> kxk conv -> sigmoid gate.
+
+    The kxk conv has 2 input / 1 output channels — 2 of 128 MXU lanes — and
+    XLA's conv emitter runs it at ~0.5% of its roofline (154 us for 0.3 MFLOP
+    at the 1280-serving cbam3 geometry, profiles/r4s4_1280_barrier fusion.418).
+    `SKYEYE_SPATTN_SHIFTADD=1` computes the identical conv as k*k shifted
+    multiply-adds on the VPU instead (one fused loop over (B,H,W,2) planes, a
+    single final 2-lane reduce); parameter tree and numerics match the conv
+    path (tests/test_models.py::test_spatial_attention_shiftadd_matches_conv).
+    """
 
     kernel_size: int = 7
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        import os
+
         avg_map = jnp.mean(x, axis=-1, keepdims=True)
         max_map = jnp.max(x, axis=-1, keepdims=True)
         stats = jnp.concatenate([avg_map, max_map], axis=-1)
         p = self.kernel_size // 2
-        gate = nn.Conv(
-            1,
-            (self.kernel_size, self.kernel_size),
-            padding=((p, p), (p, p)),
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(stats)
+        if os.environ.get("SKYEYE_SPATTN_SHIFTADD"):
+            k = self.kernel_size
+            kernel = _SpatialAttnKernel(kernel_size=k, name="conv")()
+            # match the conv path's operand precision (nn.Conv casts the f32
+            # kernel to self.dtype before multiplying) ...
+            kernel = kernel.astype(self.dtype).astype(jnp.float32)
+            # ... with f32 accumulation (the TPU conv accumulates bf16
+            # products in f32; a bf16 chain of 98 adds would drift)
+            sp = jnp.pad(stats.astype(jnp.float32),
+                         ((0, 0), (p, p), (p, p), (0, 0)))
+            B, H, W, _ = stats.shape
+            acc = jnp.zeros((B, H, W, 2), jnp.float32)
+            for dy in range(k):
+                for dx in range(k):
+                    win = jax.lax.slice(
+                        sp, (0, dy, dx, 0), (B, dy + H, dx + W, 2))
+                    acc = acc + win * kernel[dy, dx, :, 0]
+            gate = jnp.sum(acc, axis=-1, keepdims=True).astype(self.dtype)
+        else:
+            gate = nn.Conv(
+                1,
+                (self.kernel_size, self.kernel_size),
+                padding=((p, p), (p, p)),
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="conv",
+            )(stats)
         return x * jax.nn.sigmoid(gate)
 
 

@@ -66,6 +66,32 @@ def test_cbam_preserves_shape_and_gates():
     assert out.shape == x.shape
 
 
+def test_spatial_attention_shiftadd_matches_conv(monkeypatch):
+    """SKYEYE_SPATTN_SHIFTADD=1 (VPU shift-add instead of the 2-in/1-out-lane
+    conv XLA runs at ~0.5% of floor) is the same math: same param tree, same
+    output up to f32 summation order (98 products re-associated); bf16 within
+    one rounding step of the conv's f32-accumulated result."""
+    from skyeye_tpu.models.attention import SpatialAttention
+
+    x32 = jax.random.normal(KEY, (2, 16, 16, 32), jnp.float32)
+    for dtype, tol in ((jnp.float32, 1e-5), (jnp.bfloat16, 2e-2)):
+        mod = SpatialAttention(dtype=dtype)
+        x = x32.astype(dtype)
+        monkeypatch.delenv("SKYEYE_SPATTN_SHIFTADD", raising=False)
+        variables = mod.init(KEY, x)
+        ref = mod.apply(variables, x)
+        monkeypatch.setenv("SKYEYE_SPATTN_SHIFTADD", "1")
+        # identical param tree: the shift-add path must consume conv weights
+        v2 = mod.init(KEY, x)
+        assert jax.tree.structure(v2) == jax.tree.structure(variables)
+        assert v2["params"]["conv"]["kernel"].shape == (7, 7, 2, 1)
+        out = mod.apply(variables, x)
+        diff = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                     - ref.astype(jnp.float32))))
+        assert diff <= tol, (dtype, diff)
+    monkeypatch.delenv("SKYEYE_SPATTN_SHIFTADD", raising=False)
+
+
 def test_cross_layer_attention():
     q = jax.random.normal(KEY, (2, 16, 16, 64))
     k = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 128))

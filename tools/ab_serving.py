@@ -19,7 +19,7 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 
 _FLAGS = ("SKYEYE_STEM_BARRIER", "SKYEYE_NO_STEM_BARRIER",
           "SKYEYE_SPP_SHIFTMAX", "SKYEYE_NO_PACKED_M", "SKYEYE_PACKED_M",
-          "SKYEYE_STEM_BF16_MATERIALIZE")
+          "SKYEYE_STEM_BF16_MATERIALIZE", "SKYEYE_SPATTN_SHIFTADD")
 
 VARIANTS = {
     "base": {},  # current defaults (stem barrier ON since 2026-08-19)
@@ -33,6 +33,9 @@ VARIANTS = {
     # force a materialized bf16 stem input (XLA otherwise sinks the u8->bf16
     # convert into the stem conv, which runs at ~50% of MXU floor)
     "stembf16": {"SKYEYE_STEM_BF16_MATERIALIZE": "1"},
+    # CBAM spatial-attention 7x7 conv as VPU shift-adds (the 2-in/1-out-lane
+    # conv runs at 0.5% of floor, 154 us: profiles/r4s4_1280_barrier)
+    "spattn": {"SKYEYE_SPATTN_SHIFTADD": "1"},
 }
 
 
