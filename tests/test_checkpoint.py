@@ -25,6 +25,7 @@ def tiny_variables():
     return cfg, module, variables
 
 
+@pytest.mark.slow
 def test_orbax_roundtrip(tmp_path):
     cfg, module, variables = tiny_variables()
     payload = {
@@ -94,6 +95,7 @@ def test_fuse_conv_bn_preserves_output():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_load_torch_pt_file(tmp_path):
     """Write a torch checkpoint in the bare-state-dict convention and load it."""
     torch = pytest.importorskip("torch")

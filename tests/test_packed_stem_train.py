@@ -81,6 +81,7 @@ def test_train_forward_and_batch_stats_match(modules):
     _trees_allclose(got_mut["batch_stats"], ref_mut["batch_stats"], atol=5e-5)
 
 
+@pytest.mark.slow
 def test_gradients_match(modules):
     canon, packed, variables, x = modules
 
