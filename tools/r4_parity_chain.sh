@@ -21,7 +21,9 @@ run_seed 0
 # validate A/B right after seed 0 so the VERDICT #2 artifact lands even if the
 # session ends mid-chain (seeds 1-2 extend the #4 evidence afterwards)
 echo "=== validate A/B $(date +%H:%M:%S) ==="
-W=$(ls -t /tmp/parity_s0/run/weights/best /tmp/parity_s0/run/weights/last 2>/dev/null | head -1)
+# -d: orbax checkpoints are DIRECTORIES; plain ls -t lists their contents
+# under a "path:" header line, which corrupted the weights path (round-4 bug).
+W=$(ls -dt /tmp/parity_s0/run/weights/best /tmp/parity_s0/run/weights/last 2>/dev/null | head -1)
 timeout 2400 python tools/validate_ab.py --weights "$W" \
   --data /tmp/parity_s0/data_eval/data.yaml --img-size 1280 --batch-size 8 \
   --out profiles/validate_ab_r4.json > /tmp/validate_ab.log 2>&1
