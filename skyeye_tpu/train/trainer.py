@@ -72,11 +72,22 @@ def make_train_step(
     except (TypeError, ValueError):
         _loss_takes_img_weight = False
 
+    # Normalize uint8 frames in the model's compute dtype when it is bf16:
+    # u8 -> f32 -> /255 -> (bf16 at the stem conv) materializes a full-res f32
+    # plane (78 MB @640 b16) the first conv immediately rounds away; a direct
+    # bf16 convert+mul carries the same information (0..255 are exact in bf16,
+    # the /255 result rounds ONCE instead of twice) without the intermediate.
+    # Kept f32 when a device_augment runs (its HSV/affine math stays f32) or
+    # when the model computes in f32 (bit-exact canonical path).
+    _norm_dtype = getattr(module, "dtype", jnp.float32)
+    if device_augment is not None or _norm_dtype != jnp.bfloat16:
+        _norm_dtype = jnp.float32
+
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         images = batch["images"]
         # accept uint8 frames and normalize on device (4x cheaper H2D transfer)
         if images.dtype == jnp.uint8:
-            images = images.astype(jnp.float32) / 255.0
+            images = images.astype(_norm_dtype) / jnp.asarray(255.0, _norm_dtype)
         n_valid = batch.get("n_valid")
         # read optional keys BEFORE `batch` is rebound below — reading them
         # later silently returns None (this exact bug shipped: opt_hyperparams

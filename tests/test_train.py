@@ -431,6 +431,31 @@ def test_train_step_n_valid_masks_duplicate_rows():
     assert np.isfinite(float(m_padded["loss"]))
 
 
+def test_train_step_uint8_bf16_normalization_matches_f32():
+    """uint8 batches on a bf16 model normalize via a direct bf16 convert+mul
+    (no full-res f32 intermediate). The loss must match the f32 /255 path to
+    within bf16 input rounding (|rel| ~2^-9 on the pixels), and an f32 model
+    must keep the bit-exact f32 normalization."""
+    cfg, _, _ = tiny_model()
+    module = SkyEyeDetectorModule(config=cfg, dtype=jnp.bfloat16)
+    variables = module.init(KEY, jnp.zeros((2, 64, 64, 3)), train=True)
+    loss_fn = ComputeLoss(jnp.asarray(cfg.anchors), cfg.nc)
+    tx = build_optimizer(lambda s: 0.05, DEFAULT_HYP, variables["params"],
+                         batch_size=64)
+    state = create_train_state(variables, tx)
+    step = jax.jit(make_train_step(module, loss_fn, tx))
+
+    batch = make_batch(B=2, seed=5)
+    u8 = np.round(np.asarray(batch["images"]) * 255).astype(np.uint8)
+    batch_u8 = dict(batch, images=jnp.asarray(u8))
+    batch_f32 = dict(batch, images=jnp.asarray(u8.astype(np.float32) / 255.0))
+    _, m_u8 = step(state, batch_u8)
+    _, m_f32 = step(state, batch_f32)
+    l_u8, l_f32 = float(m_u8["loss"]), float(m_f32["loss"])
+    assert np.isfinite(l_u8) and np.isfinite(l_f32)
+    assert abs(l_u8 - l_f32) <= 0.02 * max(abs(l_f32), 1e-6), (l_u8, l_f32)
+
+
 def test_multiprocess_train_step():
     """Simulated multi-host (DCN) execution — round-2 VERDICT #6: two OS processes
     x 4 virtual CPU devices form one 8-device global mesh via jax.distributed
