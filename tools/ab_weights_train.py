@@ -11,9 +11,15 @@ map_parity (tools/map_parity.py:86-120), nothing else.
 Usage: python tools/ab_weights_train.py --workdir /tmp/ab_weights --epochs 220
 """
 import argparse
+import sys
 from pathlib import Path
 
 import yaml
+
+# runnable as `python tools/ab_weights_train.py` from the repo root: repo on
+# sys.path for skyeye_tpu, this dir for synth_aerial
+sys.path.insert(0, str(Path(__file__).parent.parent))
+sys.path.insert(0, str(Path(__file__).parent))
 
 
 def main():
