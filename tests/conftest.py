@@ -7,11 +7,26 @@ NOTE: this environment's sitecustomize registers the `axon` TPU backend and call
 `jax.config.update("jax_platforms", "axon,cpu")` at interpreter start, which overrides
 the JAX_PLATFORMS env var — so the override must happen through jax.config here.
 """
+import os
+
+# Silence XLA's cpu_aot_loader machine-feature LOG(ERROR) spam when loading
+# persistent-cache entries (cosmetic: the compile-side pseudo-features
+# +prefer-no-scatter/+prefer-no-gather never appear in the host feature list).
+# Must be set before jax initializes the backend.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 import jax
 import pytest
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# Persistent XLA compile cache for the CPU test lane: /root/repo persists
+# across driver sessions (while /tmp is wiped), so every lane run after the
+# first gets warm compiles — the lane is compile-dominated otherwise (the
+# train-step smoke alone is 52 s cold vs ~8 s warm).
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # Module-level marker assignment so the suite has a <2-min fast lane:
 #   pytest -m "not slow and not e2e and not torch"

@@ -68,6 +68,8 @@ def main():
     )
     wdir = Path(save_dir) / "weights"
     cands = [wdir / n for n in ("best", "last") if (wdir / n).exists()]
+    if not cands:
+        sys.exit(f"no checkpoint under {wdir} (train aborted before first save?)")
     weights = max(cands, key=lambda c: c.stat().st_mtime)
     print(f"weights -> {weights}")
     print(f"eval yaml -> {eval_yaml}")

@@ -91,6 +91,7 @@ def main():
             batch_size=args.batch_size, img_size=args.img_size, accumulate=1,
             project=str(workdir), name=mode, exist_ok=True, workers=4,
             patience=10_000, max_labels=160, noval=True, device_aug=device_aug,
+            seed=args.seed,
             save_period=100,  # orbax saves cost seconds; thin them under noval
         )
         train_s = time.time() - t0
@@ -109,6 +110,8 @@ def main():
 
     d = abs(results["host_aug"]["map50"] - results["device_aug"]["map50"])
     results["delta_map50_pt"] = round(d * 100, 2)
+    results["seed"] = args.seed
+    results["epochs"] = args.epochs
     print(f"Δ mAP50 host vs device aug: {d*100:.2f}pt")
     out_json.write_text(json.dumps(results, indent=1))
     print("wrote", out_json)

@@ -21,6 +21,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--glob", default="profiles/parity_1280_r4_seed*.json")
     ap.add_argument("--out", type=Path, default=Path("PARITY_1280_r04.json"))
+    ap.add_argument("--note", default=None,
+                    help="provenance note for an incomplete (<3 seed) run; "
+                         "required context lives with the run, not hardcoded")
     args = ap.parse_args()
 
     seeds = []
@@ -52,16 +55,16 @@ def main():
                       ("seed", "map50_ref_torch", "map50_skyeye_tpu",
                        "delta_map50_pt", "delta_map5095_pt", "verdict", "file")}
                      for s in seeds],
-        # the gate is on the WORST seed: every seed must sit within 0.5 pt
-        "verdict": ("PASS" if max(d50) <= 0.5 else "FAIL"),
+        # the gate is on the WORST seed: every seed must sit within 0.5 pt;
+        # an incomplete run can at best be a partial pass (ADVICE r4)
+        "protocol_complete": len(seeds) >= 3,
+        "verdict": ("FAIL" if max(d50) > 0.5
+                    else "PASS" if len(seeds) >= 3 else "PASS_PARTIAL"),
     }
-    if len(seeds) < 3:
-        agg["note"] = (
-            f"protocol plans 3 seeds; {len(seeds)} completed — each seed "
-            "costs ~55 min of chip-serial time and the round-4 sessions lost "
-            "two background chains to /tmp wipes. The completed seed(s) sit "
-            "far inside the 0.5 pt gate (vs round 3's 0.48-of-0.5 margin on "
-            "a 48-image val); remaining seeds queued for the next session.")
+    if len(seeds) < 3 or args.note:
+        agg["note"] = args.note or (
+            f"protocol plans 3 seeds; {len(seeds)} completed — remaining "
+            "seeds queued (each costs ~55 min of chip-serial time)")
     args.out.write_text(json.dumps(agg, indent=1))
     print(json.dumps(agg, indent=1))
     print(f"wrote {args.out}")
