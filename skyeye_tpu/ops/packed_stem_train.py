@@ -89,9 +89,51 @@ def _down1_gather_indices(c1: int, c2: int):
 
 def _remap(kernel: jnp.ndarray, idx: np.ndarray) -> jnp.ndarray:
     """Differentiable kernel remap: one gather over the flat kernel + a zero
-    slot (the transpose is a scatter-add back onto the canonical kernel)."""
+    slot (the transpose is a scatter-add back onto the canonical kernel).
+
+    Kept as the REFERENCE implementation (tests cross-check against it): on
+    TPU this gather serializes per element (~8 ns each), costing 0.70 ms
+    forward + its scatter-add transpose 0.77 ms per train step @640 b16
+    (profiles/r4s5_train640: fusion/fusion.1 + fusion.5/fusion.6). The
+    shipped path below expresses the same permutation as pad/reshape/
+    transpose/concat, whose VJP is slice/transpose/reshape — dense µs-scale
+    ops."""
     flat = jnp.concatenate([kernel.reshape(-1), jnp.zeros((1,), kernel.dtype)])
     return flat[jnp.asarray(idx)]
+
+
+def pack_stem_kernel_dense(kernel: jnp.ndarray) -> jnp.ndarray:
+    """pack_stem_kernel as dense reshapes: (6, 6, C, c1) -> (3, 3, 16C, 4c1).
+
+    Derivation: the gather map (_stem_gather_indices) places canonical tap
+    (r, s) of phase (a, b) at packed row position u+1 with input-channel
+    phase dy, where u, dy = divmod(2a + r - 2, 4) — i.e. flat padded row
+    p = 4(u+1) + dy = 2a + r + 2. So per phase: left-pad rows by 2a+2 (cols
+    by 2b+2) to length 12, split (12,) -> (3 taps, 4 phases), reorder to
+    (tap_r, tap_s, dy, dx, C, c1), merge (dy, dx, C) into the packed input
+    channel (dy*4+dx)*C + c, and stack the 4 (a, b) phases along the output
+    channel — exactly the serving-side remap (ops/packed_stem.py)."""
+    _, _, C, c1 = kernel.shape
+    parts = []
+    for a in range(2):
+        for b in range(2):
+            p = jnp.pad(kernel, ((2 * a + 2, 4 - 2 * a),
+                                 (2 * b + 2, 4 - 2 * b), (0, 0), (0, 0)))
+            p = p.reshape(3, 4, 3, 4, C, c1).transpose(0, 2, 1, 3, 4, 5)
+            parts.append(p.reshape(3, 3, 16 * C, c1))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def pack_down1_kernel_dense(kernel: jnp.ndarray) -> jnp.ndarray:
+    """pack_down1_kernel as dense reshapes: (3, 3, c1, c2) -> (2, 2, 4c1, c2).
+
+    u, dy = divmod(r - 1, 2) -> flat padded row p = 2(u+1) + dy = r + 1:
+    left-pad rows/cols by 1 to length 4, split (4,) -> (2 taps, 2 phases),
+    reorder, merge (dy, dx, c1) into the packed input channel."""
+    _, _, c1, c2 = kernel.shape
+    p = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    p = p.reshape(2, 2, 2, 2, c1, c2).transpose(0, 2, 1, 3, 4, 5)
+    return p.reshape(2, 2, 4 * c1, c2)
 
 
 class _KernelHolder(nn.Module):
@@ -174,7 +216,7 @@ class PackedTrainFocus(nn.Module):
         C = x.shape[-1] // 16
         c1 = self.out_channels
         kern = _KernelHolder((6, 6, C, c1), name="conv")()
-        kp = _remap(kern, _stem_gather_indices(C, c1)).astype(self.dtype)
+        kp = pack_stem_kernel_dense(kern).astype(self.dtype)
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kp,
@@ -201,7 +243,7 @@ class PackedTrainDown1(nn.Module):
         c1 = x.shape[-1] // 4
         c2 = self.out_channels
         kern = _KernelHolder((3, 3, c1, c2), name="conv")()
-        kp = _remap(kern, _down1_gather_indices(c1, c2)).astype(self.dtype)
+        kp = pack_down1_kernel_dense(kern).astype(self.dtype)
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kp,

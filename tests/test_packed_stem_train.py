@@ -100,3 +100,29 @@ def test_gradients_match(modules):
         _trees_allclose(g_got["backbone"][name], g_ref["backbone"][name],
                         atol=1e-5, rel_of_max=2e-3)
     _trees_allclose(g_got, g_ref, atol=1e-4, rel_of_max=2e-3)
+
+
+def test_dense_remap_matches_gather_reference():
+    """The shipped pad/reshape/transpose kernel remap must equal the gather
+    reference (_remap over the derived index maps) bit-for-bit — it is the
+    same permutation, just expressed without TPU-serialized gathers."""
+    from skyeye_tpu.ops.packed_stem_train import (
+        _down1_gather_indices,
+        _remap,
+        _stem_gather_indices,
+        pack_down1_kernel_dense,
+        pack_stem_kernel_dense,
+    )
+
+    key = jax.random.PRNGKey(11)
+    k_stem = jax.random.normal(key, (6, 6, 3, 48))
+    ref = _remap(k_stem, _stem_gather_indices(3, 48))
+    got = pack_stem_kernel_dense(k_stem)
+    assert got.shape == ref.shape == (3, 3, 48, 192)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    k_d1 = jax.random.normal(jax.random.PRNGKey(12), (3, 3, 48, 96))
+    ref = _remap(k_d1, _down1_gather_indices(48, 96))
+    got = pack_down1_kernel_dense(k_d1)
+    assert got.shape == ref.shape == (2, 2, 192, 96)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
