@@ -147,6 +147,29 @@ def _build_pipeline(variant: str, img: int, nc: int, batch: int):
 
         variables = fold_input_scale(variables)
 
+    # int8 neck (ops/int8_neck.py): every FPN/PAN conv s8xs8->s32 with static
+    # activation scales — the round-4 unit-level 1.28x at neck-class shapes
+    # (profiles/int8_deep_bench.json), end-to-end. Must rewrite the CANONICAL
+    # neck subtree, so it runs before the merged-cv12 walk (which then skips
+    # the flattened int8 params). SKYEYE_INT8_NECK=1 opts in (A/B).
+    int8_neck = bool(os.environ.get("SKYEYE_INT8_NECK")) and not int8
+    if int8_neck:
+        from skyeye_tpu.ops.int8_neck import (
+            _range_key_map as _neck_range_keys,
+            quantize_neck_variables,
+        )
+
+        # SPEED measurement: synthesized ranges (scales don't affect timing —
+        # same rationale as the int8-early path above); real calibration is
+        # tools/int8_serving_gate.py
+        keys = set()
+        for v in _neck_range_keys(3).values():
+            keys.update(v[1:] if isinstance(v, tuple) else (v,))
+        nranges = {k: {"pctl": 4.0, "absmax": 6.0} for k in keys}
+        variables = quantize_neck_variables(variables, nranges, cfg)
+        module = module.clone(int8_neck=True)
+        print("# int8 neck ENABLED (s8 x s8 -> s32 MXU, FPN/PAN)", file=sys.stderr)
+
     if merged:
         from skyeye_tpu.ops.merged_csp import merge_csp_cv12_variables
 
@@ -158,8 +181,23 @@ def _build_pipeline(variant: str, img: int, nc: int, batch: int):
 
         variables = pack_csp_m_variables(variables)
 
+    # int8 stem (ops/int8_stem.py): the stem conv runs s8xs8->s32 on the 2x
+    # int8 MXU path, consuming the uint8 frames directly — the round-4
+    # attribution's biggest single-conv residue (1.90 ms vs 0.61 floor: XLA
+    # convolves the u8 operand at ~50% MXU efficiency). Exact input path;
+    # weights per-channel s8. SKYEYE_INT8_STEM=1 opts in (A/B).
+    int8_stem = (bool(os.environ.get("SKYEYE_INT8_STEM"))
+                 and not int8 and fold_scale)  # needs raw-u8 folded weights
+    if int8_stem:
+        from skyeye_tpu.ops.int8_stem import quantize_stem_variables
+
+        variables = quantize_stem_variables(variables)
+        module = module.clone(int8_stem=True)
+        print("# int8 stem ENABLED (u8 x s8 -> s32 MXU)", file=sys.stderr)
+
     def body(frames):  # uint8 (B, H/4, W/4, 48) host-packed (s2d4_host)
-        x = frames.astype(jnp.bfloat16)
+        # under the int8 stem the model consumes the uint8 frames directly
+        x = frames if int8_stem else frames.astype(jnp.bfloat16)
         if os.environ.get("SKYEYE_STEM_BF16_MATERIALIZE"):
             # A/B probe: XLA sinks this convert INTO the stem conv (the fused
             # conv reads u8 operands directly, profiles/r4s4_1280_barrier
@@ -511,7 +549,13 @@ def measure_tpu() -> dict:
         # a data-dependent value derived from every detection, ~70 bytes per
         # DRAIN_G=16 batches, so only the relay round trip (not its bandwidth)
         # stays in the loop, amortized 16x.
-        DRAIN_G = 16
+        # Backpressure is REAL, not asserted: the producer may run at most 2
+        # undrained groups ahead (semaphore released only after the drain's
+        # device fetch completes), so worst-case launch depth is bounded at
+        # 2*DRAIN_G + (DRAIN_G-1) = 23 batches — a serving-style bounded
+        # pipeline, not an unbounded fire-and-forget (advisor r4, medium).
+        DRAIN_G = 8
+        sem = threading.Semaphore(2)
         summarize = jax.jit(lambda ds, ns: (
             jnp.stack(ns),
             sum(jnp.sum(d, dtype=jnp.float32) for d in ds)))
@@ -523,21 +567,31 @@ def measure_tpu() -> dict:
                     group = q.get()
                     if group is None:
                         return
-                    ds, ns = zip(*group)
-                    sn, chk = summarize(list(ds), list(ns))
-                    np.asarray(sn), np.asarray(chk)  # one tiny D2H per group
+                    try:
+                        ds, ns = zip(*group)
+                        sn, chk = summarize(list(ds), list(ns))
+                        np.asarray(sn), np.asarray(chk)  # tiny D2H per group
+                    finally:
+                        sem.release()
             except Exception as e:  # re-raised on the main thread
                 drain_err.append(e)
+                while True:  # keep unblocking the producer so it can notice
+                    if q.get() is None:
+                        return
+                    sem.release()
 
         # warm the summary jit + one fetch OUTSIDE the timed window
         warm = [pipeline(sim_frames[0]) for _ in range(DRAIN_G)]
         wn_, wchk = summarize([d for d, _ in warm], [n for _, n in warm])
         np.asarray(wn_), np.asarray(wchk)
 
-        q: _queue.Queue = _queue.Queue()
+        q: _queue.Queue = _queue.Queue(maxsize=2)
         th = threading.Thread(target=drain, args=(q,), daemon=True)
         th.start()
         KP = 48
+        # a partial final group would retrace `summarize` (different list
+        # length) inside the timed window — seconds through the relay
+        assert KP % DRAIN_G == 0, (KP, DRAIN_G)
         pend = []
         t_start = time.perf_counter()
         for i in range(KP):
@@ -548,10 +602,9 @@ def measure_tpu() -> dict:
             det, n = pipeline(sim_frames[i % len(sim_frames)])
             pend.append((det, n))
             if len(pend) == DRAIN_G:
+                sem.acquire()  # backpressure: at most 2 undrained groups
                 q.put(pend)
                 pend = []
-        if pend:
-            q.put(pend)
         q.put(None)
         th.join()
         if drain_err:

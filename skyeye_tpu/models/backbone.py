@@ -83,6 +83,11 @@ class CSPDarknet(nn.Module):
     # Serving-path W-pair packed bottleneck chains for narrow CSPs (hidden <
     # 128 lanes): see CSPBlock.packed_m / ops.packed_csp.pack_csp_m_variables.
     packed_m_csp: bool = False
+    # Serving-path int8 stem: the packed stem conv runs s8xs8->s32 on the 2x
+    # int8 MXU path, consuming the uint8 frames directly (exact input
+    # quantization; weights per-channel s8 — ops/int8_stem.py). Requires
+    # packed_stem; variables from ops.int8_stem.quantize_stem_variables.
+    int8_stem: bool = False
     # Training memory lever: rematerialize activations in the backward pass
     # (jax.checkpoint) instead of storing them. False = off; True/"block" =
     # checkpoint each CSP/SPP block (drops intra-block intermediates only,
@@ -186,8 +191,14 @@ class CSPDarknet(nn.Module):
 
                 if x.shape[-1] == 3:  # raw image: pack on device
                     x = s2d4_device(x)
-                x = ConvBlock(4 * c1, 3, stride=1, dtype=self.dtype,
-                              name="stem")(x, train)
+                if self.int8_stem:
+                    from ..ops.int8_stem import Int8PackedStem
+
+                    x = Int8PackedStem(4 * c1, dtype=self.dtype,
+                                       name="stem")(x, train)
+                else:
+                    x = ConvBlock(4 * c1, 3, stride=1, dtype=self.dtype,
+                                  name="stem")(x, train)
                 if not _os.environ.get("SKYEYE_NO_STEM_BARRIER"):
                     # Round-4 per-op attribution (profiles/r4s1_1280): XLA
                     # fuses the stem conv INTO down1's fusion and recomputes

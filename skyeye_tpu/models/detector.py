@@ -56,6 +56,13 @@ class SkyEyeDetectorModule(nn.Module):
     # serving-path W-pair packed bottleneck chains for narrow (hidden < 128)
     # CSPs; use with variables from ops.packed_csp.pack_csp_m_variables
     packed_m_csp: bool = False
+    # serving-path int8 stem conv on the 2x int8 MXU, consuming uint8 frames
+    # directly (ops/int8_stem.py; variables from quantize_stem_variables)
+    int8_stem: bool = False
+    # serving-path int8 neck: every FPN/PAN conv s8xs8->s32 with calibrated
+    # activation scales (ops/int8_neck.py; variables from
+    # quantize_neck_variables — the 1.28x neck-class unit win, end-to-end)
+    int8_neck: bool = False
     # parity/weight-import mode: run the enhanced cross-layer attention with the
     # reference's exact (repaired) degenerate semantics — see
     # CrossLayerAttention.ref_exact. Only meaningful with config.enhanced.
@@ -82,20 +89,31 @@ class SkyEyeDetectorModule(nn.Module):
             packed_stage1=self.packed_stage1,
             merged_csp=self.merged_csp,
             packed_m_csp=self.packed_m_csp,
+            int8_stem=self.int8_stem,
             remat=self.remat,
             name="backbone",
         )(x, train)
 
         channels = feature_channels(cfg.base_channels, cfg.width_multiple)
-        Neck = (nn.remat(FeatureNeck, static_argnums=(2,))
-                if self.remat == "stage" else FeatureNeck)
-        p3, p4, p5 = Neck(
-            in_channels=tuple(channels), dtype=self.dtype,
-            remat=(self.remat is True or self.remat == "block"),
-            merged_csp=self.merged_csp,
-            packed_m_csp=self.packed_m_csp,
-            name="neck"
-        )(feats, train)
+        if self.int8_neck:
+            from ..ops.int8_neck import Int8Neck
+
+            # FeatureNeck hardcodes 3 bottlenecks per CSP (not depth-scaled,
+            # mirroring the reference's neck) — Int8Neck must match exactly
+            p3, p4, p5 = Int8Neck(
+                in_channels=tuple(channels), num_blocks=3,
+                dtype=self.dtype, name="neck",
+            )(feats, train)
+        else:
+            Neck = (nn.remat(FeatureNeck, static_argnums=(2,))
+                    if self.remat == "stage" else FeatureNeck)
+            p3, p4, p5 = Neck(
+                in_channels=tuple(channels), dtype=self.dtype,
+                remat=(self.remat is True or self.remat == "block"),
+                merged_csp=self.merged_csp,
+                packed_m_csp=self.packed_m_csp,
+                name="neck"
+            )(feats, train)
 
         if cfg.enhanced:
             c3, c4, c5 = channels

@@ -41,6 +41,8 @@ _MODULE_MARKS = {
     # bucketed-API + int8 suites each cost 45-80 s of compiles: full-lane only
     "test_api_buckets": ("slow",),
     "test_int8_stage": ("slow",),
+    "test_int8_stem": ("slow",),
+    "test_int8_neck": ("slow",),
 }
 
 

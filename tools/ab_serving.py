@@ -19,7 +19,8 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 
 _FLAGS = ("SKYEYE_STEM_BARRIER", "SKYEYE_NO_STEM_BARRIER",
           "SKYEYE_SPP_SHIFTMAX", "SKYEYE_NO_PACKED_M", "SKYEYE_PACKED_M",
-          "SKYEYE_STEM_BF16_MATERIALIZE", "SKYEYE_SPATTN_SHIFTADD")
+          "SKYEYE_STEM_BF16_MATERIALIZE", "SKYEYE_SPATTN_SHIFTADD",
+          "SKYEYE_INT8_STEM", "SKYEYE_INT8_NECK")
 
 VARIANTS = {
     "base": {},  # current defaults (stem barrier ON since 2026-08-19)
@@ -36,6 +37,13 @@ VARIANTS = {
     # CBAM spatial-attention 7x7 conv as VPU shift-adds (the 2-in/1-out-lane
     # conv runs at 0.5% of floor, 154 us: profiles/r4s4_1280_barrier)
     "spattn": {"SKYEYE_SPATTN_SHIFTADD": "1"},
+    # int8 stem: stem conv as u8(-128)xs8->s32 on the 2x int8 MXU path —
+    # the biggest single-conv residue (1.90 ms vs 0.61 floor, ops/int8_stem.py)
+    "int8stem": {"SKYEYE_INT8_STEM": "1"},
+    # int8 neck: every neck conv s8xs8->s32 with calibrated activation scales
+    # (unit-level 1.28x at neck-class shapes, profiles/int8_deep_bench.json)
+    "int8neck": {"SKYEYE_INT8_NECK": "1"},
+    "int8both": {"SKYEYE_INT8_STEM": "1", "SKYEYE_INT8_NECK": "1"},
 }
 
 
