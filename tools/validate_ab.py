@@ -32,21 +32,41 @@ def main():
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--half", action="store_true", default=True)
     p.add_argument("--depth", type=int, default=3)
+    p.add_argument("--paced", action="store_true",
+                   help="paced-ingest mode (VERDICT r4 #3): stage val batches "
+                        "HBM-resident and release them at a PCIe-class budget "
+                        "(bytes/12GBps), so the A/B measures the eval loop "
+                        "instead of this environment's ~30 MB/s relay H2D; a "
+                        "warmup pass pays every XLA compile so BOTH timed arms "
+                        "run warm")
     p.add_argument("--out", type=Path, default=Path("profiles/validate_ab.json"))
     args = p.parse_args()
 
     from skyeye_tpu.cli.validate import validate
+    from skyeye_tpu.utils.cache import enable_compilation_cache
 
+    enable_compilation_cache()
+    paced_ms = None
+    if args.paced:
+        # PCIe-class ingest budget for this geometry (uint8 HWC frames)
+        paced_ms = args.batch_size * args.img_size**2 * 3 / 12e9 * 1e3
     rec = {"img_size": args.img_size, "batch_size": args.batch_size,
-           "weights": str(args.weights)}
-    for tag, depth in (("sync", 1), ("pipelined", args.depth)):
+           "weights": str(args.weights), "paced_ingest_ms_per_batch":
+           round(paced_ms, 3) if paced_ms else None}
+    arms = [("sync", 1), ("pipelined", args.depth)]
+    if args.paced:  # warmup arm pays the XLA compiles; discarded
+        arms.insert(0, ("warmup", args.depth))
+    for tag, depth in arms:
         t0 = time.time()
         results, _, (pre_ms, inf_ms, wall_ips) = validate(
             data=args.data, weights=args.weights, batch_size=args.batch_size,
             img_size=args.img_size, half=args.half, plots=False,
             project="/tmp/validate_ab", name=tag, exist_ok=True,
-            pipeline_depth=depth,
+            pipeline_depth=depth, paced_ingest_ms=paced_ms,
         )
+        if tag == "warmup":
+            print(f"[warmup] compiles paid ({time.time() - t0:.0f}s)")
+            continue
         rec[tag] = {
             "pipeline_depth": depth,
             "mp": round(float(results[0]), 6), "mr": round(float(results[1]), 6),
