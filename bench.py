@@ -899,7 +899,11 @@ def measure_train_640(batch: int = 16, steps: int = 24) -> dict:
     )
 
     cfg = ModelConfig.from_variant(VARIANT, nc=NC)
-    loss_fn = ComputeLoss(jnp.asarray(cfg.anchors), cfg.nc)
+    # SKYEYE_DENSE_LOSS=1: dense-cotangent loss A/B (losses/detection.py
+    # _level_dense — kills the gather-VJP scatter-adds + no-minor layout
+    # churn, ~2.3 ms of the 28 ms step in profiles/r4s5_train640)
+    loss_fn = ComputeLoss(jnp.asarray(cfg.anchors), cfg.nc,
+                          dense=bool(os.environ.get("SKYEYE_DENSE_LOSS")))
     sched = host_schedule(DEFAULT_HYP, epochs=100, steps_per_epoch=100)
 
     from skyeye_tpu.ops.packed_stem import s2d4_host

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import csv
+import os
 import time
 from pathlib import Path
 from typing import Optional
@@ -226,7 +227,12 @@ def train(
     tx = build_optimizer_runtime(hyp_dict, variables["params"], adam=adam,
                                  batch_size=batch_size, accumulate=accumulate)
 
-    loss_fn = ComputeLoss(jnp.asarray(config.anchors), nc, hyp=hyp_dict)
+    # SKYEYE_DENSE_LOSS=1 opts into the dense-cotangent loss formulation
+    # (losses/detection.py::_level_dense): identical values/gradients for
+    # collision-free assignments, weighted-mean targets on the rare
+    # (image, anchor, cell) collision; exact gather path is the default.
+    loss_fn = ComputeLoss(jnp.asarray(config.anchors), nc, hyp=hyp_dict,
+                          dense=bool(os.environ.get("SKYEYE_DENSE_LOSS")))
     state = create_train_state(variables, tx)
     start_epoch, best_fit = 0, 0.0
 

@@ -168,12 +168,14 @@ class ComputeLoss:
         anchors,
         num_classes: int,
         hyp: Optional[Dict[str, float]] = None,
+        dense: bool = False,
     ):
         from ..config import DEFAULT_HYP
 
         self.hyp = dict(DEFAULT_HYP)
         if hyp:
             self.hyp.update(hyp)
+        self.dense = dense
         self.anchors = jnp.asarray(anchors, jnp.float32)  # (nl, na, 2) grid units
         self.nl = self.anchors.shape[0]
         self.na = self.anchors.shape[1]
@@ -187,6 +189,72 @@ class ComputeLoss:
         if self.gamma > 0:
             return focal_loss(pred, target, gamma=self.gamma, alpha=0.25)
         return bce_with_logits(pred, target)
+
+    def _level_dense(self, pi, asg, w, i, img_weight):
+        """Dense-cotangent formulation of one level's loss (opt-in).
+
+        The exact path gathers the K matched rows (``pi[b, gj, gi, a]``);
+        the gather's VJP is a serialized scatter-add of (K, no) cotangents
+        into the lane-padded no-minor prediction map — ~1.0 ms/step of
+        scatter plus ~1.3 ms of layout churn at train640 b16
+        (profiles/r4s5_train640: fusion.13/fusion.9 + pad.109 +
+        reshape.1286/1287). Here the TARGETS scatter instead — one fused
+        ``.add`` of [w, w*tbox, w*cls] per level, all constants, wrapped in
+        stop_gradient — and every loss term is a dense masked elementwise
+        reduction over the (B, H, W, na) map, so the backward pass through
+        the loss is pure fused elementwise.
+
+        Semantics: identical to the exact path whenever each (image, anchor,
+        cell) triple holds at most one assignment (tests/test_dense_loss.py
+        asserts value+gradient equality there). On a collision the exact
+        path sums per-assignment losses; this path computes one loss at the
+        weighted-mean box (rounding the mean class id) — a documented
+        deviation, which is why the exact path stays the default for
+        reference parity.
+        """
+        B, H, W, na, no = pi.shape
+        m = asg["mask"]
+        b, a, gj, gi = asg["b"], asg["a"], asg["gj"], asg["gi"]
+        b_safe = jnp.where(m, jnp.clip(b, 0, B - 1), B)  # invalid -> trash row
+        vals = jnp.concatenate(
+            [w[:, None], w[:, None] * asg["tbox"],
+             (w * asg["cls"].astype(jnp.float32))[:, None]], axis=1)
+        smap = jnp.zeros((B + 1, H, W, na, 6), jnp.float32)
+        smap = jax.lax.stop_gradient(
+            smap.at[b_safe, gj, gi, a].add(vals)[:B])
+        w_map = smap[..., 0]
+        pos = w_map > 0
+        wsafe = jnp.maximum(w_map, 1e-9)
+        tbox = jnp.where(pos[..., None], smap[..., 1:5] / wsafe[..., None],
+                         jnp.array([0.0, 0.0, 1.0, 1.0], jnp.float32))
+        tcls_idx = jnp.round(smap[..., 5] / wsafe).astype(jnp.int32)
+
+        # upcast per-slice (NOT the whole map: the converts fuse into each
+        # consumer's elementwise chain; a monolithic f32 map materializes)
+        awh = self.anchors[i][None, None, None, :, :]
+        pxy = jax.nn.sigmoid(pi[..., 0:2].astype(jnp.float32)) * 2.0 - 0.5
+        pwh = (jax.nn.sigmoid(pi[..., 2:4].astype(jnp.float32)) * 2.0) ** 2 * awh
+        pbox = jnp.concatenate([pxy, pwh], axis=-1)
+        iou = bbox_iou(pbox, tbox, format="xywh", iou_type="ciou")  # (B,H,W,na)
+        wsum = jnp.maximum(jnp.sum(w_map), 1e-9)
+        lbox = jnp.sum((1.0 - iou) * w_map) / wsum
+
+        # objectness target = detached positive IoU at matched cells (the
+        # winner's IoU; the exact path takes max over colliding assignments)
+        score_iou = jnp.where(pos, jnp.clip(jax.lax.stop_gradient(iou), 0.0, None), 0.0)
+        obj_bce = self._cls_obj_bce(pi[..., 4].astype(jnp.float32), score_iou)
+        if img_weight is not None:
+            lobj = masked_mean(obj_bce, img_weight) * self.balance[i]
+        else:
+            lobj = jnp.mean(obj_bce) * self.balance[i]
+
+        lcls = jnp.zeros((), jnp.float32)
+        if self.nc > 1:
+            t_cls = self.cn + (self.cp - self.cn) * jax.nn.one_hot(
+                tcls_idx, self.nc, dtype=jnp.float32)
+            cls_bce = self._cls_obj_bce(pi[..., 5:].astype(jnp.float32), t_cls)
+            lcls = jnp.sum(cls_bce * w_map[..., None]) / (wsum * self.nc)
+        return lbox, lobj, lcls
 
     def __call__(self, predictions: Sequence[jnp.ndarray], targets, mask,
                  img_weight=None):
@@ -222,6 +290,11 @@ class ComputeLoss:
             w = m.astype(jnp.float32)
             if img_weight is not None:
                 w = w * img_weight[jnp.clip(b, 0, B - 1)]
+
+            if self.dense:
+                lb, lo, lc = self._level_dense(pi, asg, w, i, img_weight)
+                lbox, lobj, lcls = lbox + lb, lobj + lo, lcls + lc
+                continue
 
             # gather matched predictions: (K, no)
             ps = pi[b, gj, gi, a].astype(jnp.float32)
