@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import re
 import sys
 import time
@@ -103,7 +104,8 @@ def _profile_train(args):
     )
 
     cfg = ModelConfig.from_variant(args.variant, nc=10)
-    loss_fn = ComputeLoss(jnp.asarray(cfg.anchors), cfg.nc)
+    loss_fn = ComputeLoss(jnp.asarray(cfg.anchors), cfg.nc,
+                          dense=bool(os.environ.get("SKYEYE_DENSE_LOSS")))
     sched = host_schedule(DEFAULT_HYP, epochs=100, steps_per_epoch=100)
     rng = np.random.default_rng(0)
     images_np = rng.uniform(
