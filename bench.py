@@ -1086,7 +1086,42 @@ def device_reachable(timeout_s: int = 300) -> bool:
         return False
 
 
+def pick_burst_k(latency_target_ms: float, table_path=None):
+    """Pick the burst size K for a latency SLO from the measured frontier.
+
+    The burst-K frontier (bench --config burstsweep; committed as
+    profiles/burstsweep_r*.json) trades time-to-first-result against
+    single-launch throughput: K=1 returns in ~44 ms at 364 img/s, K=16 in
+    ~339 ms at 756 img/s (@1280 b16, r4 measurements). This makes the
+    BASELINE.md deployment guidance executable: the largest measured K whose
+    ms_to_first_result fits the target (VERDICT r4 #8).
+
+    Returns the chosen sweep row (dict) — K plus its measured expectations.
+    """
+    import glob as _glob
+
+    if table_path is None:
+        cands = sorted(_glob.glob(str(Path(__file__).parent
+                                      / "profiles/burstsweep_r*.json")))
+        if not cands:
+            raise FileNotFoundError("no profiles/burstsweep_r*.json frontier; "
+                                    "run: python bench.py --config burstsweep")
+        table_path = cands[-1]
+    sweep = json.loads(Path(table_path).read_text())["sweep"]
+    fits = [row for row in sweep if row["ms_to_first_result"] <= latency_target_ms]
+    row = max(fits, key=lambda r: r["k"]) if fits else min(
+        sweep, key=lambda r: r["k"])
+    return dict(row, latency_target_ms=latency_target_ms, table=str(table_path),
+                target_met=bool(fits))
+
+
 def main():
+    if "--latency-target" in sys.argv:
+        ms = float(sys.argv[sys.argv.index("--latency-target") + 1])
+        print(json.dumps({"metric": "burst-K pick for latency target",
+                          "unit": "K (micro-batches per scan launch)",
+                          **pick_burst_k(ms)}))
+        return
     if "--config" in sys.argv:
         which = sys.argv[sys.argv.index("--config") + 1]
         if not device_reachable():
