@@ -49,3 +49,22 @@ def test_int8_neck_end_to_end_close():
         # logits error bounded (random weights make logits small; the real
         # accuracy gate is mAP on converged weights, tools/int8_serving_gate.py)
         assert np.max(np.abs(r - g)) < 0.5, np.max(np.abs(r - g))
+
+
+def test_api_quantize_int8_neck_end_to_end():
+    """SkyEyeDetector.quantize_int8('neck'): calibrate, rewrite, predict."""
+    from skyeye_tpu.api import SkyEyeDetector
+
+    cfg = ModelConfig(nc=3, base_channels=16, depth_multiple=0.33,
+                      width_multiple=0.25)
+    det = SkyEyeDetector(cfg=cfg, img_size=64, conf_thres=0.01)
+    rng = np.random.default_rng(5)
+    calib = [rng.integers(0, 256, (72, 96, 3), np.uint8) for _ in range(4)]
+    det.quantize_int8(calib, mode="neck")
+    assert det._int8_neck and det.module.int8_neck
+    # the quantized detector still serves end-to-end (predict -> Results)
+    res = det([rng.integers(0, 256, (80, 100, 3), np.uint8)])
+    assert len(res.xyxy) == 1
+    det.quantize_int8(calib)  # idempotent second call is a no-op
+    with pytest.raises(ValueError):
+        det.quantize_int8(calib, mode="stem")
