@@ -13,7 +13,7 @@ run_devaug() {
     > "runs/devaug_s$s.log" 2>&1
   echo "devaug seed $s exit $?"
   cp "runs/devaug_s$s/device_aug_demo.json" "profiles/devaug_r5_seed$s.json" 2>/dev/null
-  python tools/devaug_aggregate.py > runs/devaug_agg.log 2>&1
+  python tools/devaug_aggregate.py --include-r03 > runs/devaug_agg.log 2>&1
 }
 run_devaug 1
 run_devaug 2
