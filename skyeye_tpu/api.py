@@ -243,6 +243,12 @@ class SkyEyeDetector:
         frames; they are letterboxed to the detector's img_size and drive
         ops/calibrate.observe_ranges. Compiled pipelines are rebuilt lazily
         after quantization.
+
+        Calibrate AT THE SERVING RESOLUTION: ranges observed at a smaller
+        size do not transfer — measured on chip @1280 with 320-px
+        calibration the P/R operating point shifts hard (P +0.16, R −0.06;
+        |Δ mAP50| 1.78 pt, profiles/int8_serving_gate_r5.json). Re-gate on
+        your own val split after quantizing (tools/int8_serving_gate.py).
         """
         if mode != "neck":
             raise ValueError(f"unsupported int8 mode: {mode!r} (only 'neck')")
